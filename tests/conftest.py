@@ -1,0 +1,13 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+Real TPU hardware is single-chip in this environment; multi-chip sharding is
+validated on virtual CPU devices exactly as the driver's dryrun does.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Extract 3GPP numeric spec constants into srsran_tpu/data/*.npz.
+
+The LDPC base-graph shift tables (TS38.212 Tables 5.3.2-2 / 5.3.2-3) and the
+polar reliability sequence (TS38.212 Table 5.3.1.2-1) are standard-mandated
+numeric constants.  Rather than hand-typing thousands of integers (error
+prone), this tool parses them out of the reference C++ source
+(/root/reference/lib/phy/upper/channel_coding/...) and stores them as
+compressed numpy arrays.  Only the numeric spec data is taken; no code.
+
+Outputs:
+  srsran_tpu/data/ldpc_bg_tables.npz
+      bg1: int32 [8, 46, 68]   shift value per (lifting-set index, row, col); -1 = no edge
+      bg2: int32 [8, 42, 52]
+  srsran_tpu/data/polar_tables.npz
+      reliability_1024: int32 [1024]  universal reliability sequence Q (Nmax=1024)
+"""
+
+import re
+import numpy as np
+from pathlib import Path
+
+REF = Path("/root/reference/lib/phy/upper/channel_coding")
+OUT = Path(__file__).resolve().parent.parent / "srsran_tpu" / "data"
+OUT.mkdir(parents=True, exist_ok=True)
+
+
+def extract_ldpc():
+    text = (REF / "ldpc/ldpc_luts_impl.cpp").read_text()
+    # Find the two big matrix blocks.
+    out = {}
+    for name, nrows, ncols in (("BG1_matrices", 46, 68), ("BG2_matrices", 42, 52)):
+        start = text.index(f"std::array<BG_matrix_t, NOF_LIFTING_INDICES> {name}")
+        # The next array definition or function marks the end.
+        end = text.index(";", text.index("}};", start))
+        block = text[start:end]
+        block = re.sub(r"//[^\n]*", "", block)  # strip comments
+        block = block[block.index("{"):]        # drop the declaration itself
+        # Tokenize: numbers and NO_EDGE markers in order.
+        toks = re.findall(r"NO_EDGE|\d+", block)
+        vals = [-1 if t == "NO_EDGE" else int(t) for t in toks]
+        need = 8 * nrows * ncols
+        assert len(vals) == need, (name, len(vals), need)
+        out[name[:3].lower()] = np.array(vals, dtype=np.int32).reshape(8, nrows, ncols)
+    np.savez_compressed(OUT / "ldpc_bg_tables.npz", bg1=out["bg1"], bg2=out["bg2"])
+    print("ldpc ok", out["bg1"].shape, out["bg2"].shape)
+
+
+def extract_polar():
+    text = (REF / "polar/polar_code_impl.cpp").read_text()
+    start = text.index("mother_code_10 = {")
+    end = text.index("};", start)
+    toks = re.findall(r"\d+", text[start + len("mother_code_10 = {"):end])
+    vals = [int(t) for t in toks]
+    assert len(vals) == 1024 and sorted(vals) == list(range(1024)), len(vals)
+    np.savez_compressed(OUT / "polar_tables.npz",
+                        reliability_1024=np.array(vals, dtype=np.int32))
+    print("polar ok", len(vals))
+
+
+if __name__ == "__main__":
+    extract_ldpc()
+    extract_polar()
