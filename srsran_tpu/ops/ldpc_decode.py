@@ -1,0 +1,90 @@
+"""Batched layered normalized min-sum LDPC decoder (XLA, Pallas later).
+
+TPU-native replacement for the reference's ldpc_decoder_{generic,avx2,avx512,
+neon} (lib/phy/upper/channel_coding/ldpc/ldpc_decoder_impl.h): the reference
+vectorizes one codeblock over SIMD lanes of the lifting size; here the layer
+schedule is identical (one lifted check row at a time, normalized min-sum
+with the reference's default scaling 0.8 and 6 iterations,
+include/srsran/phy/upper/channel_coding/ldpc/ldpc_decoder.h:44-51) but the
+vector axes are [codeblock_batch, Z], so every row update is a fused
+VPU-friendly block op and many codeblocks decode in lockstep.
+
+Conventions: LLR > 0 means bit 0 (reference log_likelihood_ratio semantics).
+Input LLRs cover the full NV*Z codeword; the 2Z punctured systematic
+positions must be 0 and filler positions strongly positive.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .ldpc_graph import get_graph
+
+DEFAULT_SCALING = 0.8
+DEFAULT_MAX_ITER = 6
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def decode(llrs: jnp.ndarray, base_graph: int, z: int,
+           nof_layers: int = 0, max_iter: int = DEFAULT_MAX_ITER,
+           scaling: float = DEFAULT_SCALING):
+    """Decode a batch of codeblocks.
+
+    llrs: f32 [B, NV*Z].  nof_layers: active check layers (0 = all, the
+    reference adapts this to the received length, ldpc_decoder_impl.cpp:117).
+    Returns (bits int8 [B, NV*Z] hard decisions, soft f32 [B, NV*Z]).
+    """
+    g = get_graph(base_graph, z)
+    nrows = nof_layers if nof_layers > 0 else g.nof_rows
+    rows = g.rows[:nrows]
+    batch = llrs.shape[0]
+    llr0 = llrs.reshape(batch, g.nof_cols, z).astype(jnp.float32)
+
+    max_d = max(len(r) for r in rows)
+    c2v0 = jnp.zeros((batch, nrows, max_d, z), dtype=jnp.float32)
+
+    def sweep(_, carry):
+        llr, c2v = carry
+        for r, row in enumerate(rows):
+            d = len(row)
+            v = jnp.stack(
+                [jnp.roll(llr[:, c], -s, axis=-1) if s else llr[:, c]
+                 for c, s in row], axis=1)                       # [B, d, Z]
+            t = v - c2v[:, r, :d]
+            abs_t = jnp.abs(t)
+            min1 = jnp.min(abs_t, axis=1, keepdims=True)          # [B, 1, Z]
+            idx = jnp.argmin(abs_t, axis=1)                       # [B, Z]
+            is_min = jax.nn.one_hot(idx, d, axis=1, dtype=jnp.bool_)
+            min2 = jnp.min(jnp.where(is_min, jnp.inf, abs_t), axis=1, keepdims=True)
+            neg = t < 0
+            sgn_prod = (jnp.sum(neg, axis=1, keepdims=True) % 2).astype(bool)
+            mag = jnp.where(is_min, min2, min1)
+            edge_sign = jnp.logical_xor(sgn_prod, neg)            # sign excl. own edge
+            new = scaling * jnp.where(edge_sign, -mag, mag)
+            vnew = t + new
+            for i, (c, s) in enumerate(row):
+                upd = jnp.roll(vnew[:, i], s, axis=-1) if s else vnew[:, i]
+                llr = llr.at[:, c].set(upd)
+            c2v = c2v.at[:, r, :d].set(new)
+        return llr, c2v
+
+    llr_f, _ = jax.lax.fori_loop(0, max_iter, sweep, (llr0, c2v0))
+    soft = llr_f.reshape(batch, -1)
+    bits = (soft < 0).astype(jnp.int8)
+    return bits, soft
+
+
+def check_parity(bits: jnp.ndarray, base_graph: int, z: int) -> jnp.ndarray:
+    """Syndrome-zero check, batched.  bits int8 [B, NV*Z] -> bool [B]."""
+    g = get_graph(base_graph, z)
+    b = bits.reshape(bits.shape[0], g.nof_cols, z).astype(jnp.uint8)
+    ok = jnp.ones(bits.shape[0], dtype=bool)
+    for row in g.rows:
+        acc = jnp.zeros((bits.shape[0], z), dtype=jnp.uint8)
+        for c, s in row:
+            acc = acc ^ (jnp.roll(b[:, c], -s, axis=-1) if s else b[:, c])
+        ok = ok & jnp.all(acc == 0, axis=-1)
+    return ok

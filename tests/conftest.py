@@ -1,13 +1,40 @@
-"""Test configuration: run everything on an 8-device virtual CPU mesh.
+"""Test configuration: 8-device virtual CPU mesh, no TPU tunnel.
 
 Real TPU hardware is single-chip in this environment; multi-chip sharding is
 validated on virtual CPU devices exactly as the driver's dryrun does.
+
+The container's sitecustomize registers an 'axon' PJRT plugin whose
+remote-compile relay slows *CPU* XLA compiles ~20x.  Tests are CPU-only, so
+if the hook is active we re-exec the interpreter once with it disabled
+(from pytest_configure, after restoring pytest's captured stdio fds).
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+_NEEDS_REEXEC = bool(os.environ.get("PALLAS_AXON_POOL_IPS")) and not os.environ.get(
+    "_SRSRAN_TPU_TEST_REEXEC")
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+
+def pytest_configure(config):
+    if not _NEEDS_REEXEC:
+        return
+    capman = config.pluginmanager.get_plugin("capturemanager")
+    if capman is not None:
+        try:
+            capman.stop_global_capturing()
+        except Exception:
+            pass
+    env = dict(os.environ)
+    env["_SRSRAN_TPU_TEST_REEXEC"] = "1"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execvpe(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
