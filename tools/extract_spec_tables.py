@@ -53,11 +53,33 @@ def extract_polar():
     toks = re.findall(r"\d+", text[start + len("mother_code_10 = {"):end])
     vals = [int(t) for t in toks]
     assert len(vals) == 1024 and sorted(vals) == list(range(1024)), len(vals)
+
+    # TS38.212 Table 5.3.1.1-1: DL input-bit interleaver pattern (K_IL_max=164).
+    itext = (REF / "polar/polar_interleaver_impl.cpp").read_text()
+    istart = itext.index("pattern = {")
+    iend = itext.index("};", istart)
+    ivals = [int(t) for t in re.findall(r"\d+", itext[istart + len("pattern = {"):iend])]
+    assert len(ivals) == 164 and sorted(ivals) == list(range(164)), len(ivals)
+
     np.savez_compressed(OUT / "polar_tables.npz",
-                        reliability_1024=np.array(vals, dtype=np.int32))
-    print("polar ok", len(vals))
+                        reliability_1024=np.array(vals, dtype=np.int32),
+                        interleaver_pattern=np.array(ivals, dtype=np.int32))
+    print("polar ok", len(vals), len(ivals))
+
+
+def extract_short_block():
+    # TS38.212 Table 5.3.3.3-1: Reed-Muller (32, 11) basis sequences.
+    text = (REF / "short/short_block_encoder_impl.cpp").read_text()
+    start = text.index("BASIS_SEQUENCES = {")
+    end = text.index("}};", start)
+    vals = [int(t) for t in re.findall(r"\d+", text[start + len("BASIS_SEQUENCES = {"):end])]
+    assert len(vals) == 11 * 32, len(vals)
+    np.savez_compressed(OUT / "short_block_tables.npz",
+                        rm_basis=np.array(vals, dtype=np.int8).reshape(11, 32))
+    print("short block ok")
 
 
 if __name__ == "__main__":
     extract_ldpc()
     extract_polar()
+    extract_short_block()
