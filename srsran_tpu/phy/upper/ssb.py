@@ -1,0 +1,263 @@
+"""SSB / PBCH transmit chain (TS38.211 §7.4, TS38.212 §7.1).
+
+TPU-native analogue of the reference's ssb_processor_impl + pbch_encoder +
+pbch_modulator + pss/sss/dmrs_pbch processors
+(lib/phy/upper/channel_processors/ssb/ssb_processor_impl.h:35-58,
+pbch_encoder.h:33-62: A=32, first scrambling + CRC24C + polar(nmax=9)
+E=864 -> 432 QPSK symbols; PSS/SSS m-sequences per TS38.211 §7.4.2).
+
+The whole SS/PBCH block (4 symbols x 240 subcarriers) is produced as one
+dense [4, 240] complex64 patch plus the (symbol, subcarrier) anchor, so the
+slot program scatters it into the cell resource grid in one op.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import polar as polar_ops
+from ...ops.crc import crc
+from ...ops.gold import gold_sequence_np
+from ...ran import polar_params
+
+SSB_NSYMB = 4
+SSB_NSC = 240
+PBCH_A = 32
+PBCH_B = 56          # A + CRC24
+PBCH_E = 864
+PBCH_MBIT = 864      # data bits per PBCH
+PBCH_NDATA = 432     # QPSK symbols
+
+# TS38.212 Table 7.1.1-1: PBCH payload interleaver pattern G(j).
+_G = [16, 23, 18, 17, 8, 30, 10, 6, 24, 7, 0, 5, 3, 2, 1, 4,
+      9, 11, 12, 13, 14, 15, 19, 20, 21, 22, 25, 26, 27, 28, 29, 31]
+
+
+@dataclasses.dataclass(frozen=True)
+class SsbConfig:
+    """Static SSB configuration (mirror of fapi dl_ssb_pdu fields)."""
+
+    phys_cell_id: int          # N_ID_cell
+    ssb_idx: int               # block index (0..L_max-1)
+    l_max: int                 # 4, 8 or 64
+    hrf: bool = False          # half-radio-frame bit
+    sfn: int = 0
+    k_ssb: int = 0             # subcarrier offset (only bit 4 enters payload)
+    beta_pss_db: float = 0.0   # PSS power offset (0 or 3 dB)
+    # grid anchor: first symbol in slot, first subcarrier of the 240-SC block
+    first_symbol: int = 0
+    first_subcarrier: int = 0
+
+
+# ------------------------------------------------------------- PSS / SSS
+
+@functools.lru_cache(maxsize=None)
+def _mseq(taps: tuple, init: tuple, length: int = 127) -> np.ndarray:
+    """Binary m-sequence x(n+7) = sum of x(n+t) for t in taps."""
+    x = np.zeros(length + 7, dtype=np.uint8)
+    for i, b in enumerate(init):
+        x[i] = b
+    for i in range(length):
+        acc = 0
+        for t in taps:
+            acc ^= x[i + t]
+        x[i + 7] = acc
+    return x
+
+
+def pss_sequence(n_id2: int) -> np.ndarray:
+    """TS38.211 §7.4.2.2: d(n) = 1 - 2 x((n + 43 N_ID2) mod 127)."""
+    x = _mseq((0, 4), (0, 1, 1, 0, 1, 1, 1))
+    m = (np.arange(127) + 43 * n_id2) % 127
+    return (1.0 - 2.0 * x[m]).astype(np.float32)
+
+
+def sss_sequence(n_id1: int, n_id2: int) -> np.ndarray:
+    """TS38.211 §7.4.2.3."""
+    x0 = _mseq((0, 4), (1, 0, 0, 0, 0, 0, 0))
+    x1 = _mseq((0, 1), (1, 0, 0, 0, 0, 0, 0))
+    m0 = 15 * (n_id1 // 112) + 5 * n_id2
+    m1 = n_id1 % 112
+    n = np.arange(127)
+    return ((1.0 - 2.0 * x0[(n + m0) % 127]) *
+            (1.0 - 2.0 * x1[(n + m1) % 127])).astype(np.float32)
+
+
+# ------------------------------------------------------------ PBCH coding
+
+def _i_ssb_bar(cfg: SsbConfig) -> int:
+    if cfg.l_max == 4:
+        return (cfg.ssb_idx & 0b11) + (4 if cfg.hrf else 0)
+    return cfg.ssb_idx & 0b111
+
+
+def pbch_payload(cfg: SsbConfig, mib24: np.ndarray) -> np.ndarray:
+    """TS38.212 §7.1.1: interleave the 24 MIB bits + 8 timing bits into a[32]."""
+    a = np.zeros(PBCH_A, dtype=np.int8)
+    j_sfn, j_other = 0, 14
+    for i in range(24):
+        if 1 <= i < 7:                       # SFN payload bits
+            a[_G[j_sfn]] = mib24[i]
+            j_sfn += 1
+        else:
+            a[_G[j_other]] = mib24[i]
+            j_other += 1
+    for shift in (3, 2, 1, 0):               # 4th..1st LSB of SFN
+        a[_G[j_sfn]] = (cfg.sfn >> shift) & 1
+        j_sfn += 1
+    a[_G[10]] = 1 if cfg.hrf else 0
+    if cfg.l_max == 64:
+        a[_G[11]] = (cfg.ssb_idx >> 5) & 1
+        a[_G[12]] = (cfg.ssb_idx >> 4) & 1
+        a[_G[13]] = (cfg.ssb_idx >> 3) & 1
+    else:
+        a[_G[11]] = (cfg.k_ssb >> 4) & 1
+    return a
+
+
+def pbch_scramble_payload(a: np.ndarray, cfg: SsbConfig) -> np.ndarray:
+    """TS38.212 §7.1.2 first scrambling (timing bits pass through)."""
+    m = PBCH_A - 6 if cfg.l_max == 64 else PBCH_A - 3
+    v = 2 * ((cfg.sfn >> 2) & 1) + ((cfg.sfn >> 1) & 1)
+    seq = gold_sequence_np(cfg.phys_cell_id, PBCH_A, advance=m * v)
+    out = np.zeros_like(a)
+    sfn_2nd = _G[8]    # 2nd LSB of SFN placed via j_sfn order: G[6..9] = 4th..1st
+    sfn_3rd = _G[7]
+    ssb_bits = {_G[11], _G[12], _G[13]} if cfg.l_max == 64 else set()
+    j = 0
+    for i in range(PBCH_A):
+        skip = i in ssb_bits or i == _G[10] or i == sfn_2nd or i == sfn_3rd
+        s = 0 if skip else seq[j]
+        if not skip:
+            j += 1
+        out[i] = a[i] ^ s
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _pbch_code() -> polar_params.PolarCode:
+    return polar_params.polar_code(PBCH_B, PBCH_E, nmax=9, ibil=False)
+
+
+def pbch_encode(cfg: SsbConfig, mib24) -> jnp.ndarray:
+    """Full §7.1 chain -> rate-matched bits int8 [E=864]."""
+    a = pbch_payload(cfg, np.asarray(mib24, dtype=np.int8))
+    a_prime = pbch_scramble_payload(a, cfg)
+    bits = jnp.asarray(a_prime[None])
+    c = jnp.concatenate([bits, crc(bits, "crc24C")], axis=-1)   # [1, 56]
+    code = _pbch_code()
+    u = polar_ops.allocate(c, code)
+    d = polar_ops.encode(u, code.n)
+    return polar_ops.rate_match(d, code)[0]
+
+
+def pbch_modulate(encoded: jnp.ndarray, cfg: SsbConfig) -> jnp.ndarray:
+    """TS38.211 §7.3.3: second scrambling + QPSK -> complex64 [432]."""
+    from ...ops.modulation import modulate
+    from ...ops.scrambling import scramble_bits
+    if cfg.l_max == 4:
+        v = cfg.ssb_idx & 0b11
+    else:
+        v = cfg.ssb_idx & 0b111
+    b = scramble_bits(encoded[None], cfg.phys_cell_id, advance=v * PBCH_MBIT)
+    return modulate(b, "qpsk")[0]
+
+
+def pbch_dmrs(cfg: SsbConfig) -> jnp.ndarray:
+    """TS38.211 §7.4.1.4: 144 QPSK pilots."""
+    from ...ops.modulation import modulate
+    ibar = _i_ssb_bar(cfg)
+    nid = cfg.phys_cell_id
+    c_init = ((1 << 11) * (ibar + 1) * (nid // 4 + 1) + (1 << 6) * (ibar + 1)
+              + (nid % 4)) % (1 << 31)
+    bits = jnp.asarray(gold_sequence_np(c_init, 2 * 144)[None].astype(np.int8))
+    return modulate(bits, "qpsk")[0]
+
+
+# ------------------------------------------------------------- SSB mapping
+
+@functools.lru_cache(maxsize=None)
+def _ssb_re_maps(v: int):
+    """(dmrs_positions [144, 2], data_positions [432, 2]) as (symbol, sc)."""
+    dmrs, data = [], []
+    for l in (1, 2, 3):
+        if l == 2:
+            scs = list(range(0, 48)) + list(range(192, 240))
+        else:
+            scs = list(range(240))
+        for sc in scs:
+            if sc % 4 == v:
+                dmrs.append((l, sc))
+            else:
+                data.append((l, sc))
+    return (np.array(dmrs, dtype=np.int32), np.array(data, dtype=np.int32))
+
+
+def ssb_block(cfg: SsbConfig, mib24) -> jnp.ndarray:
+    """Produce the dense [4, 240] SSB patch (amplitudes per TS38.213 SSS ref)."""
+    patch = jnp.zeros((SSB_NSYMB, SSB_NSC), dtype=jnp.complex64)
+    beta_pss = 10.0 ** (cfg.beta_pss_db / 20.0)
+    pss = jnp.asarray(pss_sequence(cfg.phys_cell_id % 3)) * beta_pss
+    sss = jnp.asarray(sss_sequence(cfg.phys_cell_id // 3, cfg.phys_cell_id % 3))
+    patch = patch.at[0, 56:183].set(pss.astype(jnp.complex64))
+    patch = patch.at[2, 56:183].set(sss.astype(jnp.complex64))
+    dmrs_pos, data_pos = _ssb_re_maps(cfg.phys_cell_id % 4)
+    patch = patch.at[jnp.asarray(dmrs_pos[:, 0]), jnp.asarray(dmrs_pos[:, 1])].set(
+        pbch_dmrs(cfg))
+    data = pbch_modulate(pbch_encode(cfg, mib24), cfg)
+    patch = patch.at[jnp.asarray(data_pos[:, 0]), jnp.asarray(data_pos[:, 1])].set(data)
+    return patch
+
+
+def map_ssb_to_grid(grid: jnp.ndarray, cfg: SsbConfig, mib24) -> jnp.ndarray:
+    """Scatter the SSB patch into a [..., nsymb, nsc] slot grid."""
+    patch = ssb_block(cfg, mib24)
+    l0, k0 = cfg.first_symbol, cfg.first_subcarrier
+    return grid.at[..., l0:l0 + SSB_NSYMB, k0:k0 + SSB_NSC].add(patch)
+
+
+# ----------------------------------------------------- PBCH receive (test/UE)
+
+def pbch_decode(patch: jnp.ndarray, cfg: SsbConfig, noise_var: float = 0.01):
+    """Closed-loop PBCH receiver from a received [4, 240] SSB patch.
+
+    Returns (payload_a int8 [32], crc_ok bool).  Assumes an ideal channel
+    (used by the loopback tests; the full UE-side estimator is not a gNB
+    component in the reference either).
+    """
+    from ...ops.modulation import demodulate
+    from ...ops.scrambling import descramble_llrs
+
+    _, data_pos = _ssb_re_maps(cfg.phys_cell_id % 4)
+    syms = patch[jnp.asarray(data_pos[:, 0]), jnp.asarray(data_pos[:, 1])]
+    nv = jnp.full(syms.shape, noise_var, dtype=jnp.float32)
+    llr = demodulate(syms[None], nv[None], "qpsk")
+    v = cfg.ssb_idx & (0b11 if cfg.l_max == 4 else 0b111)
+    llr = descramble_llrs(llr, cfg.phys_cell_id, advance=v * PBCH_MBIT)
+    code = _pbch_code()
+    lm = polar_ops.rate_dematch(llr, code)
+    dec = polar_ops.sc_decode(lm, code)[0]          # [56] = a' + crc
+    from ...ops.crc import crc_check
+    ok = crc_check(dec[None], "crc24C")[0]
+    a_prime = np.asarray(dec[:PBCH_A])
+    a = pbch_scramble_payload(a_prime, cfg)          # scrambling is involutive
+    return jnp.asarray(a), ok
+
+
+def pbch_extract_mib(a: np.ndarray, cfg: SsbConfig) -> np.ndarray:
+    """Invert the §7.1.1 payload interleaver -> 24 MIB bits."""
+    a = np.asarray(a)
+    mib = np.zeros(24, dtype=np.int8)
+    j_sfn, j_other = 0, 14
+    for i in range(24):
+        if 1 <= i < 7:
+            mib[i] = a[_G[j_sfn]]
+            j_sfn += 1
+        else:
+            mib[i] = a[_G[j_other]]
+            j_other += 1
+    return mib
