@@ -1,0 +1,102 @@
+"""DM-RS generation and mapping for PDSCH/PUSCH (TS38.211 §7.4.1.1, §6.4.1.1).
+
+TPU-native analogue of dmrs_pdsch_processor_impl / dmrs_pusch_estimator's
+sequence part (lib/phy/upper/signal_processors/dmrs_*): QPSK Gold pilots on
+a comb, with per-port frequency/time orthogonal covers (CDM groups).
+Config type 1 (comb-2) supported; pilots are produced as dense
+[nsym_dmrs, npilot_sc] arrays plus host-precomputed RE index plans.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.gold import gold_sequence
+from ...ops.modulation import modulate
+
+# Type-1 CDM mapping for DM-RS ports 0..3 (== antenna ports 1000..1003 DL):
+# (cdm_group/delta, w_f over comb pair, w_t over symbol pair)
+TYPE1_PORT_CONFIG = {
+    0: (0, (+1, +1), (+1, +1)),
+    1: (0, (+1, -1), (+1, +1)),
+    2: (1, (+1, +1), (+1, +1)),
+    3: (1, (+1, -1), (+1, +1)),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class DmrsConfig:
+    """Static DM-RS description for one PDSCH/PUSCH allocation."""
+
+    rb_start: int
+    rb_count: int
+    symbols: tuple            # DM-RS symbol indices within the slot
+    ports: tuple              # DM-RS port indices (0..3, type 1)
+    scrambling_id: int        # N_ID^{0/1}
+    n_scid: int = 0
+    numerology: int = 0
+    slot_in_frame: int = 0    # n_slot for c_init
+    amplitude: float = 1.0    # beta_dmrs
+
+
+def _c_init(cfg: DmrsConfig, symbol: int) -> int:
+    nsym = 14
+    l = symbol
+    return ((1 << 17) * (nsym * cfg.slot_in_frame + l + 1) * (2 * cfg.scrambling_id + 1)
+            + 2 * cfg.scrambling_id + cfg.n_scid) % (1 << 31)
+
+
+def sequence(cfg: DmrsConfig, symbol: int) -> jnp.ndarray:
+    """Base QPSK pilot sequence for one symbol, length 6*rb_count.
+
+    The Gold sequence is advanced so that PRB ``rb_start`` is consistent with
+    a carrier that starts at CRB0 (reference-point behaviour of the
+    reference's sequence generators).
+    """
+    npilot = 6 * cfg.rb_count
+    adv = 2 * 6 * cfg.rb_start
+    bits = gold_sequence(_c_init(cfg, symbol), 2 * npilot, advance=adv)
+    return modulate(bits[None], "qpsk")[0] * cfg.amplitude
+
+
+@functools.lru_cache(maxsize=None)
+def _type1_sc_indices(rb_start: int, rb_count: int, delta: int) -> np.ndarray:
+    """Subcarrier indices of the comb for one CDM group."""
+    base = np.arange(rb_count * 6, dtype=np.int32)
+    return (rb_start * 12 + 2 * base + delta).astype(np.int32)
+
+
+def pilots_for_port(cfg: DmrsConfig, port: int) -> jnp.ndarray:
+    """Dense pilot values [nsym, 6*rb_count] for one DM-RS port (w_f applied)."""
+    delta, wf, wt = TYPE1_PORT_CONFIG[port]
+    rows = []
+    for i, l in enumerate(cfg.symbols):
+        seq = sequence(cfg, l)
+        alt = jnp.where(jnp.arange(seq.shape[0]) % 2 == 0, wf[0], wf[1]).astype(jnp.float32)
+        rows.append(seq * alt * wt[i % 2])
+    return jnp.stack(rows, axis=0)
+
+
+def map_to_grid(grid: jnp.ndarray, cfg: DmrsConfig,
+                precoding: np.ndarray | None = None) -> jnp.ndarray:
+    """Scatter DM-RS for all ports into a [P, nsym, nsc] grid.
+
+    With ``precoding`` [P, L] the per-layer (== per-DMRS-port) pilots are
+    precoded like data, as the reference's mapper does while writing.
+    """
+    for li, dmrs_port in enumerate(cfg.ports):
+        delta = TYPE1_PORT_CONFIG[dmrs_port][0]
+        sc = jnp.asarray(_type1_sc_indices(cfg.rb_start, cfg.rb_count, delta))
+        pilots = pilots_for_port(cfg, dmrs_port)               # [S, K]
+        if precoding is None:
+            for si, l in enumerate(cfg.symbols):
+                grid = grid.at[li, l, sc].add(pilots[si])
+        else:
+            w = jnp.asarray(precoding[:, li], dtype=grid.dtype)  # [P]
+            for si, l in enumerate(cfg.symbols):
+                grid = grid.at[:, l, sc].add(w[:, None] * pilots[si][None, :])
+    return grid

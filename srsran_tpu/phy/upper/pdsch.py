@@ -1,0 +1,154 @@
+"""PDSCH transmit processor: full DL-SCH chain (TS38.212 §7.2, TS38.211 §7.3.1).
+
+TPU-native replacement for pdsch_processor_{impl,flexible_impl}
+(lib/phy/upper/channel_processors/pdsch/pdsch_processor_impl.h:35,
+pdsch_processor_flexible_impl.h:35-71): TB CRC attach -> LDPC segmentation
+(CB CRC24B) -> batched LDPC encode over the codeblock axis (the reference's
+fork_cb_batches thread fan-out becomes the natural batch dimension) ->
+rate match -> concatenate -> scramble -> modulate -> layer map -> precode ->
+scatter into the resource grid alongside type-1 DM-RS.
+
+Static per-config index plans (RE mapping, per-CB rate-match sizes) are
+precomputed on the host; the array program is jit-compiled per
+(TBS, MCS, allocation) shape bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import ldpc_encode, ldpc_rate_match
+from ...ops.crc import crc
+from ...ops.modulation import modulate, BITS_PER_SYMBOL
+from ...ops.scrambling import scramble_bits
+from ...ops.precoding import layer_map, precode, identity_precoder
+from ...ran.ldpc_params import segment_tb, select_base_graph
+from .dmrs import DmrsConfig, map_to_grid as map_dmrs, TYPE1_PORT_CONFIG
+
+
+@dataclasses.dataclass(frozen=True)
+class PdschConfig:
+    """Static PDSCH PDU description (mirror of fapi dl_pdsch_pdu essentials)."""
+
+    rnti: int
+    rb_start: int
+    rb_count: int
+    first_symbol: int
+    nof_symbols: int
+    modulation: str            # 'qpsk' | 'qam16' | 'qam64' | 'qam256'
+    target_code_rate: float    # R (for base-graph selection)
+    tbs: int                   # transport block size in bits
+    nof_layers: int = 1
+    rv: int = 0
+    n_id: int = 0              # scrambling identity (cell id or configured)
+    dmrs_symbols: tuple = (2,)
+    dmrs_scrambling_id: int = 0
+    n_scid: int = 0
+    slot_in_frame: int = 0
+    numerology: int = 0
+    reserved_cdm_groups: int = 2  # DM-RS CDM groups without data (1 or 2)
+
+
+@functools.lru_cache(maxsize=None)
+def _data_re_plan(rb_start: int, rb_count: int, first_symbol: int,
+                  nof_symbols: int, dmrs_symbols: tuple,
+                  reserved_cdm_groups: int) -> np.ndarray:
+    """(symbol, subcarrier) positions of data REs in mapping order.
+
+    Frequency-first within each symbol, symbols ascending (TS38.211
+    §7.3.1.5).  On DM-RS symbols, CDM groups without data are excluded
+    (group 0 = even REs, group 1 = odd REs for type 1).
+    """
+    out = []
+    scs = np.arange(rb_start * 12, (rb_start + rb_count) * 12, dtype=np.int32)
+    for l in range(first_symbol, first_symbol + nof_symbols):
+        if l in dmrs_symbols:
+            if reserved_cdm_groups >= 2:
+                continue                      # whole symbol reserved
+            keep = scs[scs % 2 == 1]          # group 0 (even comb) is DM-RS
+            out.extend((l, int(k)) for k in keep)
+        else:
+            out.extend((l, int(k)) for k in scs)
+    return np.array(out, dtype=np.int32)
+
+
+def nof_data_re(cfg: PdschConfig) -> int:
+    return len(_data_re_plan(cfg.rb_start, cfg.rb_count, cfg.first_symbol,
+                             cfg.nof_symbols, cfg.dmrs_symbols,
+                             cfg.reserved_cdm_groups))
+
+
+def _cb_rate_match_sizes(g_total: int, c: int, qm: int, nl: int) -> list:
+    """TS38.212 §5.4.2.1 E_r distribution over codeblocks."""
+    unit = nl * qm
+    base = unit * (g_total // (unit * c))
+    gamma = (g_total // unit) % c
+    return [base if j < c - gamma else base + unit for j in range(c)]
+
+
+def encode_transport_block(payload_bits: jnp.ndarray, cfg: PdschConfig):
+    """TB bits [tbs] -> rate-matched+concatenated codeword bits [G].
+
+    Returns (codeword int8 [G], SegmentParams).
+    """
+    qm = BITS_PER_SYMBOL[cfg.modulation]
+    g_total = nof_data_re(cfg) * qm * cfg.nof_layers
+    bg = select_base_graph(cfg.tbs, cfg.target_code_rate)
+    seg = segment_tb(cfg.tbs, bg)
+    tb_crc = crc(payload_bits[None], "crc24A" if seg.tb_crc_bits == 24 else "crc16")
+    b = jnp.concatenate([payload_bits[None], tb_crc], axis=-1)[0]   # [B]
+
+    c, z = seg.nof_codeblocks, seg.lifting_size
+    k_prime, k = seg.cb_info_bits, seg.full_block_bits
+    payload_per_cb = k_prime - seg.cb_crc_bits
+    total_needed = payload_per_cb * c
+    pad = total_needed - b.shape[0]
+    if pad:
+        b = jnp.concatenate([b, jnp.zeros(pad, dtype=b.dtype)])
+    cbs = b.reshape(c, payload_per_cb)
+    if seg.cb_crc_bits:
+        cb_crc = crc(cbs, "crc24B")
+        cbs = jnp.concatenate([cbs, cb_crc], axis=-1)               # [C, K']
+    # filler bits to K
+    filler = jnp.zeros((c, k - k_prime), dtype=cbs.dtype)
+    cbs_full = jnp.concatenate([cbs, filler], axis=-1)              # [C, K]
+    code = ldpc_encode.encode(cbs_full, bg, z)                      # [C, NV*Z]
+    tx_buf = code[:, 2 * z:]                                        # [C, N]
+    e_sizes = _cb_rate_match_sizes(g_total, c, qm, cfg.nof_layers)
+    outs = []
+    for j in range(c):
+        outs.append(ldpc_rate_match.rate_match(
+            tx_buf[j:j + 1], e_sizes[j], cfg.rv, qm, bg, z, k_prime, k)[0])
+    return jnp.concatenate(outs, axis=-1), seg
+
+
+def process(grid: jnp.ndarray, payload_bits: jnp.ndarray, cfg: PdschConfig,
+            precoding: np.ndarray | None = None) -> jnp.ndarray:
+    """Run the full PDSCH chain into a [P, nsym, nsc] resource grid."""
+    nof_ports = grid.shape[0]
+    if precoding is None:
+        precoding = identity_precoder(nof_ports, cfg.nof_layers)
+    codeword, _ = encode_transport_block(payload_bits, cfg)
+    c_init = (cfg.rnti << 15) + cfg.n_id
+    scrambled = scramble_bits(codeword[None], c_init)
+    symbols = modulate(scrambled, cfg.modulation)                   # [1, S]
+    layers = layer_map(symbols[0], cfg.nof_layers)                  # [L, S/L]
+    ports = precode(layers, jnp.asarray(precoding))                 # [P, S/L]
+    plan = _data_re_plan(cfg.rb_start, cfg.rb_count, cfg.first_symbol,
+                         cfg.nof_symbols, cfg.dmrs_symbols,
+                         cfg.reserved_cdm_groups)
+    sym_idx = jnp.asarray(plan[:, 0])
+    sc_idx = jnp.asarray(plan[:, 1])
+    grid = grid.at[:, sym_idx, sc_idx].add(ports)
+    dmrs_cfg = DmrsConfig(
+        rb_start=cfg.rb_start, rb_count=cfg.rb_count, symbols=cfg.dmrs_symbols,
+        ports=tuple(range(cfg.nof_layers)), scrambling_id=cfg.dmrs_scrambling_id,
+        n_scid=cfg.n_scid, numerology=cfg.numerology,
+        slot_in_frame=cfg.slot_in_frame)
+    grid = map_dmrs(grid, dmrs_cfg, precoding)
+    return grid
