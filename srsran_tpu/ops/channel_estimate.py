@@ -1,0 +1,171 @@
+"""DM-RS port channel estimation (LS + smoothing + interpolation + TA).
+
+TPU-native replacement for port_channel_estimator_average_impl
+(lib/phy/upper/signal_processors/port_channel_estimator_average_impl.h:38-165
+and port_channel_estimator_helpers.cpp): per hop/layer/port,
+
+1. extract received pilots, accumulate EPRE;
+2. LS estimate = rx * conj(expected), CFO from phase slope between repeated
+   DM-RS symbols, average across DM-RS symbols;
+3. frequency-domain smoothing: 'none' | 'mean' | 'filter' (raised-cosine FIR,
+   roll-off 0.2, truncated taps, renormalized — helpers.cpp:47-119);
+4. RSRP from filtered pilots; TA from IDFT power peak; noise variance =
+   power of (received - reconstructed) pilots;
+5. linear interpolation comb -> all subcarriers, replicate across time.
+
+All steps batched over [rx_port, layer]; fully fused under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class ChannelEstimate:
+    """Per-(rx_port, layer) results over one allocation."""
+
+    coeffs: jnp.ndarray      # complex64 [P, L, nsym, nsc] channel per RE
+    noise_var: jnp.ndarray   # f32 [P]
+    rsrp: jnp.ndarray        # f32 [P]
+    epre: jnp.ndarray        # f32 [P]
+    snr: jnp.ndarray         # f32 [P]
+    time_alignment_s: jnp.ndarray  # f32 scalar
+    cfo_hz: jnp.ndarray      # f32 scalar (0 if not estimated)
+
+
+@functools.lru_cache(maxsize=None)
+def _rc_filter(nof_taps: int = 31, rolloff: float = 0.2, stride: int = 2) -> np.ndarray:
+    """Raised-cosine smoothing FIR resampled to the DM-RS stride and
+    renormalized (port_channel_estimator_helpers.cpp:47-119)."""
+    t = (np.arange(nof_taps) - (nof_taps - 1) / 2) / stride
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = np.sinc(t) * np.cos(np.pi * rolloff * t) / (1 - (2 * rolloff * t) ** 2)
+    h[~np.isfinite(h)] = np.pi / 4 * np.sinc(1 / (2 * rolloff)) if rolloff else 0.0
+    h = np.nan_to_num(h)
+    return (h / h.sum()).astype(np.float32)
+
+
+def _smooth(ls: jnp.ndarray, strategy: str, stride: int) -> jnp.ndarray:
+    """Frequency smoothing over the pilot axis (last)."""
+    if strategy == "none":
+        return ls
+    if strategy == "mean":
+        return jnp.mean(ls, axis=-1, keepdims=True) * jnp.ones_like(ls)
+    taps = _rc_filter(stride=stride)
+    pad = len(taps) // 2
+    ext = jnp.concatenate([
+        jnp.repeat(ls[..., :1], pad, axis=-1), ls,
+        jnp.repeat(ls[..., -1:], pad, axis=-1)], axis=-1)
+    kern = jnp.asarray(taps)
+    real = _conv1d(ext.real, kern)
+    imag = _conv1d(ext.imag, kern)
+    return (real + 1j * imag).astype(ls.dtype)
+
+
+def _conv1d(x: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
+    """'valid' correlation along the last axis for arbitrary leading dims."""
+    k = kern.shape[0]
+    n = x.shape[-1] - k + 1
+    idx = jnp.arange(n)[:, None] + jnp.arange(k)[None, :]
+    windows = x[..., idx]                          # [..., n, k]
+    return jnp.einsum("...nk,k->...n", windows, kern)
+
+
+def estimate(rx_pilots: jnp.ndarray, expected: jnp.ndarray,
+             pilot_scs: np.ndarray, nof_sc: int, nof_symbols: int,
+             scs_hz: float, stride: int = 2,
+             smoothing: str = "filter",
+             beta_scaling: float = 1.0,
+             estimate_cfo: bool = True,
+             dmrs_symbol_times_s: np.ndarray | None = None) -> ChannelEstimate:
+    """Estimate the channel for one allocation hop.
+
+    rx_pilots: complex64 [P, S_dmrs, K_p] received REs at pilot positions.
+    expected:  complex64 [L, S_dmrs, K_p] transmitted pilots (per layer).
+    pilot_scs: int [K_p] subcarrier indices (within the allocation, 0-based).
+    Returns coefficients on the full [P, L, nof_symbols, nof_sc] lattice.
+    """
+    p = rx_pilots.shape[0]
+    l = expected.shape[0]
+    epre = jnp.mean(jnp.abs(rx_pilots) ** 2, axis=(1, 2))           # [P]
+
+    # LS per (port, layer, dmrs symbol, pilot)
+    ls = rx_pilots[:, None] * jnp.conj(expected)[None] / (beta_scaling ** 2)
+
+    # CFO from phase slope between consecutive DM-RS symbols.
+    cfo = jnp.zeros((), dtype=jnp.float32)
+    if estimate_cfo and ls.shape[2] >= 2 and dmrs_symbol_times_s is not None:
+        dt = float(dmrs_symbol_times_s[1] - dmrs_symbol_times_s[0])
+        xcorr = jnp.sum(ls[:, :, 1:] * jnp.conj(ls[:, :, :-1]))
+        cfo = (jnp.angle(xcorr) / (2 * np.pi * dt)).astype(jnp.float32)
+        # compensate each DM-RS symbol before averaging
+        t = jnp.asarray(dmrs_symbol_times_s, dtype=jnp.float32)
+        rot = jnp.exp(-2j * np.pi * cfo * t).astype(ls.dtype)
+        ls = ls * rot[None, None, :, None]
+
+    ls_avg = jnp.mean(ls, axis=2)                                   # [P, L, K_p]
+    filtered = _smooth(ls_avg, smoothing, stride)
+
+    rsrp = jnp.mean(jnp.abs(filtered) ** 2, axis=(1, 2)) * (beta_scaling ** 2)
+
+    # Noise variance: residual of raw pilots vs reconstructed.
+    recon = filtered[:, :, None, :] * expected[None] * beta_scaling
+    if estimate_cfo and ls.shape[2] >= 2 and dmrs_symbol_times_s is not None:
+        t = jnp.asarray(dmrs_symbol_times_s, dtype=jnp.float32)
+        rot = jnp.exp(2j * np.pi * cfo * t).astype(recon.dtype)
+        recon = recon * rot[None, None, :, None]
+    recon_sum = jnp.sum(recon, axis=1)                              # [P, S, K_p]
+    resid = rx_pilots - recon_sum
+    noise_var = jnp.mean(jnp.abs(resid) ** 2, axis=(1, 2))          # [P]
+    noise_var = jnp.maximum(noise_var, rsrp * 10 ** (-60 / 10))     # MAX_SINR floor
+    snr = rsrp / jnp.maximum(noise_var, 1e-12)
+
+    # Time alignment: IDFT power peak over the pilot comb.
+    ta = _time_alignment(ls_avg, pilot_scs, nof_sc, scs_hz, stride)
+
+    # Interpolate to the full subcarrier lattice (linear), replicate in time.
+    coeffs_f = _interp_freq(filtered, pilot_scs, nof_sc)            # [P, L, nsc]
+    coeffs = jnp.broadcast_to(coeffs_f[:, :, None, :],
+                              (p, l, nof_symbols, nof_sc)).astype(jnp.complex64)
+    if estimate_cfo and dmrs_symbol_times_s is not None:
+        pass  # per-symbol CFO re-rotation applied by the caller if desired
+    return ChannelEstimate(coeffs=coeffs, noise_var=noise_var, rsrp=rsrp,
+                           epre=epre, snr=snr, time_alignment_s=ta, cfo_hz=cfo)
+
+
+def _interp_freq(vals: jnp.ndarray, pilot_scs: np.ndarray, nof_sc: int) -> jnp.ndarray:
+    """Linear interpolation from pilot subcarriers to all subcarriers."""
+    x = np.asarray(pilot_scs, dtype=np.float32)
+    xi = np.arange(nof_sc, dtype=np.float32)
+    # host-precomputed weights: for each target sc, two source pilots + weights
+    right = np.searchsorted(x, xi, side="left").clip(1, len(x) - 1)
+    left = right - 1
+    denom = (x[right] - x[left])
+    w_r = np.where(denom > 0, (xi - x[left]) / np.maximum(denom, 1e-9), 0.0)
+    w_r = np.clip(w_r, 0.0, 1.0).astype(np.float32)
+    li, ri = jnp.asarray(left), jnp.asarray(right)
+    wr = jnp.asarray(w_r)
+    return vals[..., li] * (1.0 - wr) + vals[..., ri] * wr
+
+
+def _time_alignment(ls_avg: jnp.ndarray, pilot_scs: np.ndarray, nof_sc: int,
+                    scs_hz: float, stride: int) -> jnp.ndarray:
+    """IDFT power-peak TA estimate (time_alignment_estimator_dft_impl)."""
+    nfft = 1
+    while nfft < nof_sc * 2:
+        nfft *= 2
+    buf = jnp.zeros(ls_avg.shape[:-1] + (nfft,), dtype=ls_avg.dtype)
+    buf = buf.at[..., jnp.asarray(np.asarray(pilot_scs))].set(ls_avg)
+    h_t = jnp.fft.ifft(buf, axis=-1)
+    power = jnp.sum(jnp.abs(h_t) ** 2, axis=tuple(range(h_t.ndim - 1)))  # [nfft]
+    # delays are cyclic: peak near 0 or wrap (negative). Search window
+    # +-1/(2*stride) of the comb period to avoid aliases.
+    max_delay = nfft // (2 * stride)
+    idx = jnp.argmax(jnp.concatenate([power[:max_delay], power[-max_delay:]]))
+    delay = jnp.where(idx < max_delay, idx, idx - 2 * max_delay)
+    return (delay / (nfft * scs_hz)).astype(jnp.float32)
