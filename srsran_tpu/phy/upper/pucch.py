@@ -1,0 +1,250 @@
+"""PUCCH receive processors: formats 0, 1 and 2 (TS38.211 §6.3.2).
+
+TPU-native analogue of pucch_processor_impl + pucch_detector_format0/1 +
+pucch_demodulator_format2 (lib/phy/upper/channel_processors/pucch/):
+
+- F0: sequence detection — correlate against all candidate cyclic shifts
+  (one [shifts x 12] matmul per symbol) and compare to a noise reference.
+- F1: time-OCC despreading of DM-RS and data symbols, per-hop channel
+  estimate, coherent combining, BPSK/QPSK decision (batch-friendly over
+  all multiplexed users of a PRB, mirroring the batch API of
+  pucch_processor.h:196-217).
+- F2: DM-RS channel estimate (comb-3) -> equalize -> QPSK demap ->
+  descramble -> short-block / polar UCI decode.
+
+Cyclic-shift hopping n_cs(ns, l) follows TS38.211 §6.3.2.2.2 with the
+PUCCH hopping identity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.gold import gold_sequence_np
+from ...ops.low_papr import base_sequence
+from ...ops.modulation import demodulate
+from ...ops.scrambling import descramble_llrs
+from ...ops import short_block, polar as polar_ops
+from ...ops.crc import crc_check
+from ...ran import polar_params
+
+
+# ------------------------------------------------------------ common helpers
+
+@functools.lru_cache(maxsize=None)
+def _ncs_table(n_id: int, slot: int) -> np.ndarray:
+    """n_cs(ns, l) for all 14 symbols (TS38.211 §6.3.2.2.2)."""
+    seq = gold_sequence_np(n_id, 8 * 14, advance=8 * 14 * slot)
+    out = np.zeros(14, dtype=np.int64)
+    for l in range(14):
+        bits = seq[8 * l: 8 * l + 8]
+        out[l] = int(sum(int(b) << m for m, b in enumerate(bits)))
+    return out
+
+
+def _alpha(m0: int, m_cs: int, n_id: int, slot: int, symbol: int) -> float:
+    ncs = _ncs_table(n_id, slot)[symbol]
+    return 2 * np.pi / 12 * ((m0 + m_cs + ncs) % 12)
+
+
+def _f01_sequence(n_id: int, slot: int, symbol: int, m0: int,
+                  m_cs: int = 0) -> np.ndarray:
+    u, v = n_id % 30, 0
+    alpha = _alpha(m0, m_cs, n_id, slot, symbol)
+    n = np.arange(12)
+    return (np.exp(1j * alpha * n) * base_sequence(u, v, 12)).astype(np.complex64)
+
+
+# ----------------------------------------------------------------- Format 0
+
+@dataclasses.dataclass(frozen=True)
+class PucchF0Config:
+    prb: int                  # absolute PRB index
+    start_symbol: int
+    nof_symbols: int          # 1 or 2
+    initial_cyclic_shift: int  # m0
+    n_id: int                 # hopping id
+    slot: int = 0
+    nof_harq_bits: int = 1    # 0..2
+    sr_opportunity: bool = False
+
+
+def detect_format0(grid: jnp.ndarray, cfg: PucchF0Config,
+                   threshold: float = 4.0):
+    """Detect HARQ/SR on PUCCH F0.
+
+    grid: [P, nsym, nsc].  Returns dict with detected bits + metric.
+    m_cs per TS38.213 §9.2.3/9.2.5: 1 bit -> {0:NACK, 6:ACK};
+    2 bits -> {0,3,6,9} for (NN, NA, AA, AN); SR-only uses m_cs=0.
+    """
+    if cfg.nof_harq_bits == 0:
+        cand_mcs = [0]
+    elif cfg.nof_harq_bits == 1:
+        cand_mcs = [0, 6]
+    else:
+        cand_mcs = [0, 3, 6, 9]
+    sc = jnp.arange(cfg.prb * 12, (cfg.prb + 1) * 12)
+    corr_total = []
+    energy = 0.0
+    for mi, m_cs in enumerate(cand_mcs):
+        acc = 0.0
+        for s in range(cfg.nof_symbols):
+            l = cfg.start_symbol + s
+            rx = grid[:, l, sc]                                  # [P, 12]
+            ref = jnp.asarray(_f01_sequence(cfg.n_id, cfg.slot, l,
+                                            cfg.initial_cyclic_shift, m_cs))
+            acc = acc + jnp.abs(jnp.sum(rx * jnp.conj(ref), axis=-1)) ** 2
+        corr_total.append(jnp.sum(acc))
+    for s in range(cfg.nof_symbols):
+        l = cfg.start_symbol + s
+        energy = energy + jnp.sum(jnp.abs(grid[:, l, sc]) ** 2)
+    corr = jnp.stack(corr_total) / 12.0                          # [C]
+    noise = jnp.maximum(energy - jnp.max(corr), 1e-9) / 12.0
+    metric = corr / noise
+    best = jnp.argmax(metric)
+    detected = metric[best] > threshold
+    if cfg.nof_harq_bits == 1:
+        harq = jnp.where(best == 1, 1, 0)[None]
+    elif cfg.nof_harq_bits == 2:
+        # order: (00)->0, (01)?? TS38.213: mcs 0,3,6,9 <-> {00,01,11,10}
+        mapping = jnp.asarray([[0, 0], [0, 1], [1, 1], [1, 0]], dtype=jnp.int8)
+        harq = mapping[best]
+    else:
+        harq = jnp.zeros((0,), dtype=jnp.int8)
+    return {"detected": detected, "metric": metric[best], "harq_bits": harq,
+            "best_mcs_index": best}
+
+
+# ----------------------------------------------------------------- Format 1
+
+@dataclasses.dataclass(frozen=True)
+class PucchF1Config:
+    prb: int
+    start_symbol: int
+    nof_symbols: int          # 4..14
+    initial_cyclic_shift: int
+    time_domain_occ: int
+    n_id: int
+    slot: int = 0
+    nof_harq_bits: int = 1    # 1 or 2
+
+
+def _occ(idx: int, length: int) -> np.ndarray:
+    m = np.arange(length)
+    return np.exp(2j * np.pi * idx * m / length).astype(np.complex64)
+
+
+def detect_format1(grid: jnp.ndarray, cfg: PucchF1Config,
+                   threshold: float = 1.5):
+    """Despread + coherently combine + decide (pucch_detector_format1.h:45-150)."""
+    n_data = cfg.nof_symbols // 2
+    n_dmrs = cfg.nof_symbols - n_data
+    sc = jnp.arange(cfg.prb * 12, (cfg.prb + 1) * 12)
+    occ_dmrs = _occ(cfg.time_domain_occ, n_dmrs)
+    occ_data = _occ(cfg.time_domain_occ, n_data)
+
+    dm_acc = jnp.zeros((grid.shape[0], 12), dtype=jnp.complex64)
+    da_acc = jnp.zeros((grid.shape[0], 12), dtype=jnp.complex64)
+    di = mi = 0
+    for s in range(cfg.nof_symbols):
+        l = cfg.start_symbol + s
+        ref = jnp.asarray(_f01_sequence(cfg.n_id, cfg.slot, l,
+                                        cfg.initial_cyclic_shift))
+        rx = grid[:, l, sc] * jnp.conj(ref)
+        if s % 2 == 0:      # DM-RS symbols are the even ones
+            dm_acc = dm_acc + rx * np.conj(occ_dmrs[mi])
+            mi += 1
+        else:
+            da_acc = da_acc + rx * np.conj(occ_data[di])
+            di += 1
+    h = dm_acc / n_dmrs                                         # [P, 12]
+    z = jnp.sum(da_acc / n_data * jnp.conj(h))                  # scalar
+    h_energy = jnp.sum(jnp.abs(h) ** 2)
+    d_hat = z / jnp.maximum(h_energy, 1e-12)
+    # noise: residual of data symbols after removing the decided symbol
+    power = jnp.abs(d_hat) ** 2 * h_energy
+    metric = power / jnp.maximum(
+        jnp.sum(jnp.abs(da_acc / n_data - d_hat * h) ** 2), 1e-9)
+    if cfg.nof_harq_bits == 1:
+        bits = jnp.asarray([jnp.real(d_hat) < 0], dtype=jnp.int8)
+    else:
+        bits = jnp.asarray([jnp.real(d_hat) < 0, jnp.imag(d_hat) < 0],
+                           dtype=jnp.int8)
+    return {"detected": metric > threshold, "metric": metric,
+            "harq_bits": bits, "symbol": d_hat}
+
+
+# ----------------------------------------------------------------- Format 2
+
+@dataclasses.dataclass(frozen=True)
+class PucchF2Config:
+    rb_start: int
+    nof_rb: int
+    start_symbol: int
+    nof_symbols: int          # 1 or 2
+    rnti: int
+    n_id: int                 # scrambling (data)
+    n_id0: int                # DM-RS scrambling
+    nof_uci_bits: int
+    slot: int = 0
+
+
+def process_format2(grid: jnp.ndarray, cfg: PucchF2Config):
+    """Estimate (comb-3 DM-RS), equalize, demap, descramble, UCI-decode."""
+    p = grid.shape[0]
+    data_sc, dmrs_sc = [], []
+    for rb in range(cfg.rb_start, cfg.rb_start + cfg.nof_rb):
+        for k in range(12):
+            (dmrs_sc if k % 3 == 1 else data_sc).append(rb * 12 + k)
+    data_sc = np.array(data_sc, dtype=np.int32)
+    dmrs_sc = np.array(dmrs_sc, dtype=np.int32)
+
+    llr_parts = []
+    h_energy_acc = 0.0
+    noise_acc = 0.0
+    for s in range(cfg.nof_symbols):
+        l = cfg.start_symbol + s
+        # DM-RS pilots: Gold c_init per TS38.211 §6.4.1.3.2.1 with n_id0
+        c_init = ((1 << 17) * (14 * cfg.slot + l + 1) * (2 * cfg.n_id0 + 1)
+                  + 2 * cfg.n_id0) % (1 << 31)
+        npil = 4 * cfg.nof_rb
+        adv = 2 * 4 * cfg.rb_start
+        bits = gold_sequence_np(c_init, 2 * npil, advance=adv)
+        from ...ops.modulation import modulate
+        pilots = modulate(jnp.asarray(bits[None].astype(np.int8)), "qpsk")[0]
+        rx_pil = grid[:, l, jnp.asarray(dmrs_sc)]               # [P, npil]
+        ls = rx_pil * jnp.conj(pilots)[None]
+        h_pil = jnp.mean(ls, axis=-1, keepdims=True) * jnp.ones_like(ls)
+        noise = jnp.mean(jnp.abs(rx_pil - h_pil * pilots[None]) ** 2)
+        # interpolate flat per pilot neighborhood: nearest-pilot estimate
+        idx = np.searchsorted(dmrs_sc, data_sc).clip(0, len(dmrs_sc) - 1)
+        h_data = ls[:, jnp.asarray(idx)]
+        rx_d = grid[:, l, jnp.asarray(data_sc)]
+        corr = jnp.sum(jnp.conj(h_data) * rx_d, axis=0)
+        energy = jnp.sum(jnp.abs(h_data) ** 2, axis=0)
+        x = corr / jnp.maximum(energy, 1e-12)
+        nv = noise / jnp.maximum(energy, 1e-12)
+        llr_parts.append(demodulate(x[None], nv[None], "qpsk")[0])
+        h_energy_acc = h_energy_acc + jnp.mean(energy)
+        noise_acc = noise_acc + noise
+    llr = jnp.concatenate(llr_parts)
+    c_init = ((cfg.rnti << 15) + cfg.n_id) % (1 << 31)
+    llr = descramble_llrs(llr[None], c_init)[0]
+
+    k = cfg.nof_uci_bits
+    if k <= 11:
+        bits, metric = short_block.detect(llr[None], k, 2)
+        return {"uci_bits": bits[0], "valid": metric[0] > 0.5,
+                "metric": metric[0]}
+    crc_len = 6 if k < 20 else 11
+    code = polar_params.polar_code(k + crc_len, llr.shape[0], nmax=10,
+                                   ibil=True,
+                                   n_pc=3 if k + crc_len <= 19 else 0)
+    lm = polar_ops.rate_dematch(llr[None], code)
+    dec = polar_ops.sc_decode(lm, code)
+    ok = crc_check(dec, f"crc{crc_len}")[0]
+    return {"uci_bits": dec[0, :k], "valid": ok, "metric": jnp.float32(1.0)}

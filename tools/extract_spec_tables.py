@@ -79,7 +79,39 @@ def extract_short_block():
     print("short block ok")
 
 
+def extract_prach():
+    # TS38.211 Table 6.3.3.1-3: logical -> physical root sequence order, L=839.
+    text = Path("/root/reference/lib/phy/upper/channel_processors/"
+                "prach_generator_impl.cpp").read_text()
+    start = text.index("get_sequence_number_long")
+    start = text.index("lut = {", start)
+    end = text.index("};", start)
+    vals = [int(t) for t in re.findall(r"\d+", text[start + len("lut = {"):end])]
+    assert len(vals) == 838 and sorted(vals) == list(range(1, 839)), len(vals)
+    np.savez_compressed(OUT / "prach_tables.npz",
+                        long_root_order=np.array(vals, dtype=np.int32))
+    print("prach ok", len(vals))
+
+
+def extract_low_papr():
+    # TS38.211 Tables 5.2.2.2-1..4: phi values for M_sc in {6, 12, 18, 24}.
+    text = Path("/root/reference/lib/phy/upper/sequence_generators/"
+                "low_papr_sequence_generator_impl.cpp").read_text()
+    out = {}
+    for m in (6, 12, 18, 24):
+        start = text.index(f"phi_M_sc_{m} = {{")
+        end = text.index("}};", start)
+        vals = [int(t) for t in
+                re.findall(r"-?\d+", text[start + len(f"phi_M_sc_{m} = {{"):end])]
+        assert len(vals) == 30 * m, (m, len(vals))
+        out[f"phi_{m}"] = np.array(vals, dtype=np.int32).reshape(30, m)
+    np.savez_compressed(OUT / "low_papr_tables.npz", **out)
+    print("low papr ok")
+
+
 if __name__ == "__main__":
     extract_ldpc()
     extract_polar()
     extract_short_block()
+    extract_prach()
+    extract_low_papr()
