@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Benchmark: full DL+UL PHY slot for a 100 MHz 4x4 cell on one TPU chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Baseline (BASELINE.md): the reference's real-time budget of 500 us/slot for a
+100 MHz 30 kHz-SCS cell (max_processing_delay_slots deadline) — vs_baseline
+is 500us / measured_us (higher is better, >1 beats real time).
+
+The DL slot carries SSB + PDCCH + 4-layer 256QAM PDSCH over 273 RB; the UL
+slot runs the full PUSCH receiver (DM-RS estimate -> ZF equalize -> demap ->
+LDPC decode) on a 273-RB 2-layer QAM64 transport block plus PUCCH F1.
+Throughput-style measurement: N slots launched back-to-back (async dispatch
+pipelines them), one final block_until_ready.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from srsran_tpu.phy.slot_programs import CellConfig, dl_slot_fn, ul_slot_fn
+    from srsran_tpu.phy.upper.ssb import SsbConfig
+    from srsran_tpu.phy.upper.pdsch import PdschConfig
+    from srsran_tpu.phy.upper.pdcch import PdcchConfig, CoresetConfig
+    from srsran_tpu.phy.upper.pusch import PuschConfig
+    from srsran_tpu.phy.upper.pucch import PucchF1Config
+    from srsran_tpu.ran.ldpc_params import segment_tb, select_base_graph
+
+    nof_slots = int(os.environ.get("BENCH_SLOTS", "50"))
+
+    # ---- flagship cell: 100 MHz @ 30 kHz SCS, 4 ports -------------------
+    cell = CellConfig(nof_ports=4, nof_rb=273, dft_size=4096, numerology=1)
+
+    ssb = SsbConfig(phys_cell_id=1, ssb_idx=0, l_max=8, sfn=0,
+                    first_symbol=2, first_subcarrier=48)
+    coreset = CoresetConfig(rb_start=0, nof_rb=48, start_symbol=0, duration=1)
+    pdcch = PdcchConfig(coreset=coreset, rnti=0x4601, aggregation_level=8,
+                        cce_index=0, payload_bits=60, n_id=1, n_id_data=1)
+    # 4-layer 256QAM over the full carrier: G = 2670 REs/sym-ish; pick a TBS
+    # near 0.8 code rate: data REs = 10*273*12 + 1*... ~ 33k; bits ~ 1.07M.
+    pdsch = PdschConfig(rnti=0x4601, rb_start=0, rb_count=273, first_symbol=1,
+                        nof_symbols=12, modulation="qam256",
+                        target_code_rate=0.8, tbs=835584, nof_layers=4,
+                        n_id=1, dmrs_symbols=(2, 11))
+    dl_plan = ((ssb,), (pdcch,), (pdsch,), ())
+    dl = dl_slot_fn(cell, dl_plan)
+
+    pusch = PuschConfig(rnti=0x17, rb_start=0, rb_count=273, first_symbol=0,
+                        nof_symbols=14, modulation="qam64",
+                        target_code_rate=0.7, tbs=311400, nof_layers=2,
+                        n_id=1, dmrs_symbols=(2, 7, 11))
+    pucch = PucchF1Config(prb=0, start_symbol=0, nof_symbols=14,
+                          initial_cyclic_shift=0, time_domain_occ=0, n_id=1)
+    ul_plan = ((pusch,), (), (pucch,), (), ())
+    ul = ul_slot_fn(cell, ul_plan)
+
+    rng = np.random.default_rng(0)
+    n_payload_variants = 4
+    dl_payloads = [
+        ((jnp.asarray(rng.integers(0, 2, 24).astype(np.int8)),),
+         (jnp.asarray(rng.integers(0, 2, 60).astype(np.int8)),),
+         (jnp.asarray(rng.integers(0, 2, pdsch.tbs).astype(np.int8)),))
+        for _ in range(n_payload_variants)]
+
+    seg = segment_tb(pusch.tbs, select_base_graph(pusch.tbs, 0.7))
+    softs = (jnp.zeros((seg.nof_codeblocks, seg.codeword_bits), jnp.float32),)
+
+    # UL input: reuse DL samples as rx waveform (arithmetic is identical
+    # whether or not the CRC passes; decode runs all iterations).
+    t0 = time.time()
+    samples, _ = dl(*dl_payloads[0])
+    samples.block_until_ready()
+    dl_compile_s = time.time() - t0
+
+    rx = samples
+    t0 = time.time()
+    out = ul(rx, (), softs)
+    jax.block_until_ready(out)
+    ul_compile_s = time.time() - t0
+
+    # ---- timed loop ------------------------------------------------------
+    t0 = time.time()
+    outs = None
+    for i in range(nof_slots):
+        samples, _ = dl(*dl_payloads[i % n_payload_variants])
+        outs = ul(samples, (), softs)
+    jax.block_until_ready((samples, outs))
+    elapsed = time.time() - t0
+
+    us_per_slot = elapsed / nof_slots * 1e6
+    slots_per_s = nof_slots / elapsed
+    result = {
+        "metric": "dl+ul_slot_100mhz_4x4",
+        "value": round(us_per_slot, 1),
+        "unit": "us/slot",
+        "vs_baseline": round(500.0 / us_per_slot, 2),
+        "slots_per_s": round(slots_per_s, 1),
+        "dl_compile_s": round(dl_compile_s, 1),
+        "ul_compile_s": round(ul_compile_s, 1),
+        "nof_slots": nof_slots,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Jit-compiled per-slot DL/UL programs for one cell.
+
+TPU-native replacement for the reference's per-slot processor machinery
+(downlink_processor_single_executor_impl.cpp:258-285 finish/send flow and
+uplink_processor_impl.cpp:123-247 per-symbol dispatch): instead of executor
+fan-out and notifier callbacks, the whole slot is ONE fused XLA program —
+build grid (SSB+PDCCH+PDSCH+CSI-RS) -> OFDM modulate -> samples for DL;
+samples -> OFDM demodulate -> PUSCH/PUCCH processing -> result arrays for
+UL.  The static "slot plan" (tuple of PDU configs) is the jit key, mirroring
+how FAPI slot messages parameterize the reference's processors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ran.cyclic_prefix import CyclicPrefix, slot_num_samples
+from ..ops import ofdm
+from .upper import ssb as ssb_mod
+from .upper import pdsch as pdsch_mod
+from .upper import pdcch as pdcch_mod
+from .upper import pusch as pusch_mod
+from .upper import pucch as pucch_mod
+from .upper import prach as prach_mod
+from .upper import csi_rs as csi_rs_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class CellConfig:
+    """Static cell numerology/geometry (fapi config message analogue)."""
+
+    nof_ports: int
+    nof_rb: int
+    dft_size: int
+    numerology: int
+    cp: CyclicPrefix = CyclicPrefix.NORMAL
+    center_freq_hz: float = 3.5e9
+    tx_scale: float = 1.0
+
+    @property
+    def nof_sc(self) -> int:
+        return self.nof_rb * 12
+
+    def slot_samples(self, slot_in_subframe: int = 0) -> int:
+        return slot_num_samples(self.cp, self.numerology, self.dft_size,
+                                slot_in_subframe)
+
+
+# ----------------------------------------------------------------- DL slot
+
+def dl_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
+    """Un-jitted DL slot program builder (for jit or vmap over cells).
+
+    plan = (ssb_cfgs, pdcch_cfgs, pdsch_cfgs, csi_rs_cfgs).
+    Returned fn(ssb_mib, pdcch_payloads, pdsch_payloads) -> (samples, grid).
+    """
+    ssb_cfgs, pdcch_cfgs, pdsch_cfgs, csi_cfgs = plan
+
+    def run(ssb_mib, pdcch_payloads, pdsch_payloads):
+        grid = jnp.zeros((cell.nof_ports, 14 if cell.cp is CyclicPrefix.NORMAL
+                          else 12, cell.nof_sc), dtype=jnp.complex64)
+        for cfg, mib in zip(ssb_cfgs, ssb_mib):
+            grid = ssb_mod.map_ssb_to_grid(grid, cfg, mib)
+        for cfg, bits in zip(pdcch_cfgs, pdcch_payloads):
+            grid = pdcch_mod.process(grid, bits, cfg)
+        for cfg, bits in zip(pdsch_cfgs, pdsch_payloads):
+            grid = pdsch_mod.process(grid, bits, cfg)
+        for cfg in csi_cfgs:
+            grid = csi_rs_mod.process(grid, cfg)
+        samples = ofdm.modulate_slot(
+            grid, cell.dft_size, cell.numerology, cell.cp, slot_in_subframe,
+            cell.center_freq_hz, cell.tx_scale)
+        return samples, grid
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def dl_slot_fn(cell: CellConfig, plan, slot_in_subframe: int = 0):
+    """Jitted single-cell DL slot program."""
+    return jax.jit(dl_slot_core(cell, plan, slot_in_subframe))
+
+
+# ----------------------------------------------------------------- UL slot
+
+def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
+    """Un-jitted UL slot program builder (for jit or vmap over cells).
+
+    plan = (pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs).
+    Returned fn(samples, prach_fd, soft_buffers) -> dict of result pytrees.
+    prach_fd: [n_prach, ports, sym, L] frequency-domain PRACH captures (the
+    lower-PHY PRACH demodulator output); soft_buffers: tuple per PUSCH
+    (HARQ state, zeros when new data).
+    """
+    pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs = plan
+
+    def run(samples, prach_fd, soft_buffers):
+        grid = ofdm.demodulate_slot(
+            samples, cell.nof_sc, cell.dft_size, cell.numerology, cell.cp,
+            slot_in_subframe, cell.center_freq_hz)
+        out = {"pusch": [], "pucch_f0": [], "pucch_f1": [], "pucch_f2": [],
+               "prach": []}
+        for i, cfg in enumerate(pusch_cfgs):
+            sb = soft_buffers[i] if soft_buffers is not None else None
+            res = pusch_mod.process(grid, cfg, soft_buffer=sb)
+            out["pusch"].append({
+                "tb_bits": res.tb_bits, "tb_crc_ok": res.tb_crc_ok,
+                "new_soft": res.new_soft,
+                "snr": res.csi.snr, "ta_s": res.csi.time_alignment_s,
+                "rsrp": res.csi.rsrp, "cfo_hz": res.csi.cfo_hz})
+        for cfg in f0_cfgs:
+            out["pucch_f0"].append(pucch_mod.detect_format0(grid, cfg))
+        for cfg in f1_cfgs:
+            out["pucch_f1"].append(pucch_mod.detect_format1(grid, cfg))
+        for cfg in f2_cfgs:
+            out["pucch_f2"].append(pucch_mod.process_format2(grid, cfg))
+        for i, cfg in enumerate(prach_cfgs):
+            det = prach_mod.detect(prach_fd[i], cfg)
+            out["prach"].append({
+                "metrics": det.metrics, "ta_s": det.time_advance_s,
+                "detected": det.detected, "rssi": det.rssi})
+        return out
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def ul_slot_fn(cell: CellConfig, plan, slot_in_subframe: int = 0):
+    """Jitted single-cell UL slot program."""
+    return jax.jit(ul_slot_core(cell, plan, slot_in_subframe))

@@ -1,0 +1,80 @@
+"""NZP-CSI-RS generator (TS38.211 §7.4.1.5).
+
+TPU-native analogue of nzp_csi_rs_generator_impl
+(lib/phy/upper/signal_processors/nzp_csi_rs_*): QPSK Gold pilots mapped per
+the CSI-RS locations table.  Rows 1-4 of Table 7.4.1.5.3-1 are supported
+(1/2/4 ports, the configurations srsRAN gNB uses for TRS + CSI acquisition);
+fd-CDM2 covers applied per port.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.gold import gold_sequence
+from ...ops.modulation import modulate
+
+
+@dataclasses.dataclass(frozen=True)
+class CsiRsConfig:
+    """Static NZP-CSI-RS description (fapi dl_csi_rs_pdu essentials)."""
+
+    row: int                  # 1..4 (Table 7.4.1.5.3-1)
+    rb_start: int
+    rb_count: int
+    symbol: int               # l0
+    k0: int                   # frequency-domain location within the RB
+    scrambling_id: int
+    slot_in_frame: int = 0
+    amplitude: float = 1.0
+
+
+def _c_init(cfg: CsiRsConfig, l: int) -> int:
+    return ((1 << 10) * (14 * cfg.slot_in_frame + l + 1)
+            * (2 * cfg.scrambling_id + 1) + cfg.scrambling_id) % (1 << 31)
+
+
+@functools.lru_cache(maxsize=None)
+def _layout(row: int, k0: int):
+    """(nof_ports, density_per_rb, [(port, sc_off, wf)] entries per RB)."""
+    if row == 1:
+        return 1, 3, tuple((0, k0 + 4 * i, 1.0) for i in range(3))
+    if row == 2:
+        return 1, 1, ((0, k0, 1.0),)
+    if row == 3:
+        # 2 ports, fd-CDM2 on (k0, k0+1)
+        return 2, 1, ((0, k0, 1.0), (0, k0 + 1, 1.0),
+                      (1, k0, 1.0), (1, k0 + 1, -1.0))
+    if row == 4:
+        # 4 ports, two fd-CDM2 groups at k0 and k0+2
+        ent = []
+        for g, base in ((0, k0), (1, k0 + 2)):
+            ent += [(2 * g + 0, base, 1.0), (2 * g + 0, base + 1, 1.0),
+                    (2 * g + 1, base, 1.0), (2 * g + 1, base + 1, -1.0)]
+        return 4, 1, tuple(ent)
+    raise NotImplementedError(f"CSI-RS row {row}")
+
+
+def process(grid: jnp.ndarray, cfg: CsiRsConfig) -> jnp.ndarray:
+    """Map CSI-RS into a [P, nsym, nsc] grid."""
+    nof_ports, density, entries = _layout(cfg.row, cfg.k0)
+    l = cfg.symbol
+    npil = density * cfg.rb_count
+    bits = gold_sequence(_c_init(cfg, l), 2 * npil,
+                         advance=2 * density * cfg.rb_start)
+    seq = modulate(bits[None], "qpsk")[0] * cfg.amplitude     # [npil]
+    rbs = np.arange(cfg.rb_start, cfg.rb_start + cfg.rb_count)
+    for port, sc_off, wf in entries:
+        # sequence index per RB: density pilots per RB; CDM pair shares m
+        sc = jnp.asarray((rbs * 12 + sc_off).astype(np.int32))
+        if density == 3:
+            m = jnp.asarray((np.arange(cfg.rb_count) * 3
+                             + (sc_off - cfg.k0) // 4).astype(np.int32))
+        else:
+            m = jnp.asarray(np.arange(cfg.rb_count, dtype=np.int32))
+        grid = grid.at[port, l, sc].add(wf * seq[m])
+    return grid

@@ -23,11 +23,14 @@ from ...ops import channel_estimate as chest
 from ...ops.equalizer import equalize
 from ...ops.modulation import demodulate, BITS_PER_SYMBOL
 from ...ops.scrambling import descramble_llrs
+from ...ops import ulsch_demux
 from ...ran.cyclic_prefix import CyclicPrefix, cp_lengths
 from ...ran.ldpc_params import segment_tb, select_base_graph
+from ...ran.uci_on_pusch import UciOnPuschConfig, uci_symbol_budget
 from .dmrs import DmrsConfig, pilots_for_port, _type1_sc_indices, TYPE1_PORT_CONFIG
 from .pdsch import _data_re_plan, _cb_rate_match_sizes
 from . import sch_decoder
+from . import uci as uci_codec
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,6 +55,7 @@ class PuschConfig:
     numerology: int = 0
     reserved_cdm_groups: int = 2
     equalizer: str = "zf"      # 'zf' | 'mmse' (mmse only 1 layer)
+    uci: UciOnPuschConfig = UciOnPuschConfig()
 
 
 @dataclasses.dataclass
@@ -62,6 +66,43 @@ class PuschResult:
     new_soft: jnp.ndarray
     csi: chest.ChannelEstimate
     evm_proxy: jnp.ndarray      # mean |llr| as a cheap quality proxy
+    harq_ack_bits: jnp.ndarray | None = None
+    harq_ack_valid: jnp.ndarray | None = None
+    csi1_bits: jnp.ndarray | None = None
+    csi1_valid: jnp.ndarray | None = None
+    csi2_bits: jnp.ndarray | None = None
+    csi2_valid: jnp.ndarray | None = None
+
+
+def demux_plan(cfg: PuschConfig):
+    """Build the §6.2.7 class-map plan for this PUSCH (None without UCI)."""
+    u = cfg.uci
+    if u.o_ack == 0 and u.o_csi1 == 0 and u.o_csi2 == 0:
+        return None
+    qm = BITS_PER_SYMBOL[cfg.modulation]
+    syms = range(cfg.first_symbol, cfg.first_symbol + cfg.nof_symbols)
+    re_per_symbol = tuple(
+        0 if l in cfg.dmrs_symbols else cfg.rb_count * 12 for l in syms)
+    m_total = sum(re_per_symbol)
+    # anchor l1: first symbol after the first DM-RS symbol
+    first_dmrs = min(cfg.dmrs_symbols)
+    m_from_l1 = sum(r for l, r in zip(syms, re_per_symbol) if l > first_dmrs)
+    seg = segment_tb(cfg.tbs, select_base_graph(cfg.tbs, cfg.target_code_rate))
+    sum_kr = cfg.tbs + seg.tb_crc_bits + seg.nof_codeblocks * seg.cb_crc_bits
+    q_ack = uci_symbol_budget(u.o_ack, u.beta_ack, u.alpha, m_total,
+                              m_from_l1, sum_kr, qm, cfg.nof_layers)
+    q_csi1 = uci_symbol_budget(u.o_csi1, u.beta_csi1, u.alpha, m_total,
+                               m_total, sum_kr, qm, cfg.nof_layers,
+                               already_used=q_ack)
+    q_csi2 = uci_symbol_budget(u.o_csi2, u.beta_csi2, u.alpha, m_total,
+                               m_total, sum_kr, qm, cfg.nof_layers,
+                               already_used=q_ack + q_csi1)
+    dcfg = ulsch_demux.DemuxConfig(
+        nof_symbols=cfg.nof_symbols, first_symbol=cfg.first_symbol,
+        re_per_symbol=re_per_symbol, dmrs_symbols=cfg.dmrs_symbols,
+        qm=qm, nof_layers=cfg.nof_layers, q_ack=q_ack, q_csi1=q_csi1,
+        q_csi2=q_csi2, ack_reserved=u.o_ack <= 2)
+    return dcfg
 
 
 def estimate_channel(grid: jnp.ndarray, cfg: PuschConfig) -> chest.ChannelEstimate:
@@ -114,9 +155,37 @@ def process(grid: jnp.ndarray, cfg: PuschConfig,
     c_init = (cfg.rnti << 15) + cfg.n_id
     llr = descramble_llrs(llr, c_init)[0]
 
+    qm = BITS_PER_SYMBOL[cfg.modulation]
+    bpre = qm * cfg.nof_layers                     # bits per RE
+    uci_out = {}
+    dcfg = demux_plan(cfg)
+    if dcfg is not None:
+        fields = ulsch_demux.field_positions(dcfg)
+        llr_re = llr.reshape(-1, bpre)
+        u = cfg.uci
+        if u.o_ack:
+            pos = fields["ack_punct"] if len(fields["ack_punct"]) else fields["ack"]
+            ack_llr = llr_re[jnp.asarray(pos)].reshape(-1)
+            b, ok, met = uci_codec.decode_uci(ack_llr, u.o_ack, qm)
+            uci_out.update(harq_ack_bits=b, harq_ack_valid=ok)
+        if u.o_csi1:
+            c1 = llr_re[jnp.asarray(fields["csi1"])].reshape(-1)
+            b, ok, _ = uci_codec.decode_uci(c1, u.o_csi1, qm)
+            uci_out.update(csi1_bits=b, csi1_valid=ok)
+        if u.o_csi2:
+            c2 = llr_re[jnp.asarray(fields["csi2"])].reshape(-1)
+            b, ok, _ = uci_codec.decode_uci(c2, u.o_csi2, qm)
+            uci_out.update(csi2_bits=b, csi2_valid=ok)
+        # data = DATA + reserved positions, with punctured-ACK REs zeroed
+        data_llr_re = llr_re[jnp.asarray(fields["data"])]
+        if len(fields["ack_punct"]):
+            punct_mask = np.isin(fields["data"], fields["ack_punct"])
+            data_llr_re = jnp.where(jnp.asarray(punct_mask)[:, None], 0.0,
+                                    data_llr_re)
+        llr = data_llr_re.reshape(-1)
+
     bg = select_base_graph(cfg.tbs, cfg.target_code_rate)
     seg = segment_tb(cfg.tbs, bg)
-    qm = BITS_PER_SYMBOL[cfg.modulation]
     e_sizes = _cb_rate_match_sizes(llr.shape[0], seg.nof_codeblocks, qm,
                                    cfg.nof_layers)
     res = sch_decoder.decode(llr, seg, e_sizes, cfg.rv, qm, cfg.tbs,
@@ -124,4 +193,4 @@ def process(grid: jnp.ndarray, cfg: PuschConfig,
                              nof_iterations=nof_iterations)
     return PuschResult(tb_bits=res.tb_bits, tb_crc_ok=res.tb_crc_ok,
                        cb_crc_ok=res.cb_crc_ok, new_soft=res.new_soft,
-                       csi=est, evm_proxy=jnp.mean(jnp.abs(llr)))
+                       csi=est, evm_proxy=jnp.mean(jnp.abs(llr)), **uci_out)

@@ -95,47 +95,71 @@ def _i_ssb_bar(cfg: SsbConfig) -> int:
     return cfg.ssb_idx & 0b111
 
 
-def pbch_payload(cfg: SsbConfig, mib24: np.ndarray) -> np.ndarray:
-    """TS38.212 §7.1.1: interleave the 24 MIB bits + 8 timing bits into a[32]."""
-    a = np.zeros(PBCH_A, dtype=np.int8)
+@functools.lru_cache(maxsize=None)
+def _payload_maps(sfn: int, hrf: bool, ssb_idx: int, l_max: int, k_ssb: int):
+    """(mib_dest [24] scatter positions, static_bits [32] with timing bits)."""
+    dest = np.zeros(24, dtype=np.int32)
     j_sfn, j_other = 0, 14
     for i in range(24):
         if 1 <= i < 7:                       # SFN payload bits
-            a[_G[j_sfn]] = mib24[i]
+            dest[i] = _G[j_sfn]
             j_sfn += 1
         else:
-            a[_G[j_other]] = mib24[i]
+            dest[i] = _G[j_other]
             j_other += 1
+    static = np.zeros(PBCH_A, dtype=np.int8)
     for shift in (3, 2, 1, 0):               # 4th..1st LSB of SFN
-        a[_G[j_sfn]] = (cfg.sfn >> shift) & 1
+        static[_G[j_sfn]] = (sfn >> shift) & 1
         j_sfn += 1
-    a[_G[10]] = 1 if cfg.hrf else 0
-    if cfg.l_max == 64:
-        a[_G[11]] = (cfg.ssb_idx >> 5) & 1
-        a[_G[12]] = (cfg.ssb_idx >> 4) & 1
-        a[_G[13]] = (cfg.ssb_idx >> 3) & 1
+    static[_G[10]] = 1 if hrf else 0
+    if l_max == 64:
+        static[_G[11]] = (ssb_idx >> 5) & 1
+        static[_G[12]] = (ssb_idx >> 4) & 1
+        static[_G[13]] = (ssb_idx >> 3) & 1
     else:
-        a[_G[11]] = (cfg.k_ssb >> 4) & 1
-    return a
+        static[_G[11]] = (k_ssb >> 4) & 1
+    return dest, static
 
 
-def pbch_scramble_payload(a: np.ndarray, cfg: SsbConfig) -> np.ndarray:
-    """TS38.212 §7.1.2 first scrambling (timing bits pass through)."""
-    m = PBCH_A - 6 if cfg.l_max == 64 else PBCH_A - 3
-    v = 2 * ((cfg.sfn >> 2) & 1) + ((cfg.sfn >> 1) & 1)
-    seq = gold_sequence_np(cfg.phys_cell_id, PBCH_A, advance=m * v)
-    out = np.zeros_like(a)
-    sfn_2nd = _G[8]    # 2nd LSB of SFN placed via j_sfn order: G[6..9] = 4th..1st
+def pbch_payload(cfg: SsbConfig, mib24) -> jnp.ndarray:
+    """TS38.212 §7.1.1: interleave the 24 MIB bits + 8 timing bits into a[32].
+
+    Traceable: the MIB bits may be a jax array; timing bits are static.
+    """
+    dest, static = _payload_maps(cfg.sfn, cfg.hrf, cfg.ssb_idx, cfg.l_max,
+                                 cfg.k_ssb)
+    a = jnp.asarray(static)
+    return a.at[jnp.asarray(dest)].set(jnp.asarray(mib24).astype(jnp.int8))
+
+
+@functools.lru_cache(maxsize=None)
+def _scramble_mask(phys_cell_id: int, sfn: int, l_max: int) -> np.ndarray:
+    """The §7.1.2 scrambling bits s[32] (0 at pass-through positions)."""
+    m = PBCH_A - 6 if l_max == 64 else PBCH_A - 3
+    v = 2 * ((sfn >> 2) & 1) + ((sfn >> 1) & 1)
+    seq = gold_sequence_np(phys_cell_id, PBCH_A, advance=m * v)
+    sfn_2nd = _G[8]    # j_sfn order: G[6..9] = 4th..1st LSB of SFN
     sfn_3rd = _G[7]
-    ssb_bits = {_G[11], _G[12], _G[13]} if cfg.l_max == 64 else set()
+    ssb_bits = {_G[11], _G[12], _G[13]} if l_max == 64 else set()
+    mask = np.zeros(PBCH_A, dtype=np.int8)
     j = 0
     for i in range(PBCH_A):
         skip = i in ssb_bits or i == _G[10] or i == sfn_2nd or i == sfn_3rd
-        s = 0 if skip else seq[j]
         if not skip:
+            mask[i] = seq[j]
             j += 1
-        out[i] = a[i] ^ s
-    return out
+    return mask
+
+
+def pbch_scramble_payload(a, cfg: SsbConfig):
+    """TS38.212 §7.1.2 first scrambling (timing bits pass through).
+
+    Involutive; traceable (works on numpy or jax arrays).
+    """
+    mask = _scramble_mask(cfg.phys_cell_id, cfg.sfn, cfg.l_max)
+    if isinstance(a, np.ndarray):
+        return a ^ mask
+    return (jnp.asarray(a).astype(jnp.int8) ^ jnp.asarray(mask))
 
 
 @functools.lru_cache(maxsize=None)
@@ -144,10 +168,10 @@ def _pbch_code() -> polar_params.PolarCode:
 
 
 def pbch_encode(cfg: SsbConfig, mib24) -> jnp.ndarray:
-    """Full §7.1 chain -> rate-matched bits int8 [E=864]."""
-    a = pbch_payload(cfg, np.asarray(mib24, dtype=np.int8))
+    """Full §7.1 chain -> rate-matched bits int8 [E=864].  Traceable."""
+    a = pbch_payload(cfg, mib24)
     a_prime = pbch_scramble_payload(a, cfg)
-    bits = jnp.asarray(a_prime[None])
+    bits = jnp.asarray(a_prime)[None]
     c = jnp.concatenate([bits, crc(bits, "crc24C")], axis=-1)   # [1, 56]
     code = _pbch_code()
     u = polar_ops.allocate(c, code)
@@ -251,13 +275,5 @@ def pbch_decode(patch: jnp.ndarray, cfg: SsbConfig, noise_var: float = 0.01):
 def pbch_extract_mib(a: np.ndarray, cfg: SsbConfig) -> np.ndarray:
     """Invert the §7.1.1 payload interleaver -> 24 MIB bits."""
     a = np.asarray(a)
-    mib = np.zeros(24, dtype=np.int8)
-    j_sfn, j_other = 0, 14
-    for i in range(24):
-        if 1 <= i < 7:
-            mib[i] = a[_G[j_sfn]]
-            j_sfn += 1
-        else:
-            mib[i] = a[_G[j_other]]
-            j_other += 1
-    return mib
+    dest, _ = _payload_maps(cfg.sfn, cfg.hrf, cfg.ssb_idx, cfg.l_max, cfg.k_ssb)
+    return a[dest].astype(np.int8)
