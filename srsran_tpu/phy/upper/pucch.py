@@ -180,6 +180,136 @@ def detect_format1(grid: jnp.ndarray, cfg: PucchF1Config,
 
 # ----------------------------------------------------------------- Format 2
 
+# ------------------------------------------------------------- Format 3 / 4
+
+# TS38.211 Table 6.4.1.3.3.2-1: DM-RS symbol positions within the PUCCH
+# (no frequency hopping, no additional DM-RS).
+_F34_DMRS_POS = {4: (1,), 5: (0, 3), 6: (1, 4), 7: (1, 4), 8: (1, 5),
+                 9: (1, 6), 10: (2, 7), 11: (2, 7), 12: (2, 8), 13: (2, 9),
+                 14: (3, 10)}
+
+
+@dataclasses.dataclass(frozen=True)
+class PucchF3Config:
+    """Format 3 (and 4 via occ_length>1): DFT-s-OFDM UCI carrier."""
+
+    rb_start: int
+    nof_rb: int                # F4: must be 1
+    start_symbol: int
+    nof_symbols: int           # 4..14
+    rnti: int
+    n_id: int                  # data scrambling
+    n_id_hopping: int          # group hopping id for DM-RS sequences
+    nof_uci_bits: int
+    slot: int = 0
+    pi2_bpsk: bool = False
+    occ_length: int = 1        # 1 (F3) | 2 | 4 (F4)
+    occ_index: int = 0
+
+
+def _f3_dmrs_seq(cfg: PucchF3Config, l: int) -> np.ndarray:
+    """Low-PAPR DM-RS across the allocation for one symbol."""
+    u = cfg.n_id_hopping % 30
+    m = cfg.nof_rb * 12
+    ncs = _ncs_table(cfg.n_id_hopping, cfg.slot)[l]
+    alpha = 2 * np.pi / 12 * (ncs % 12)
+    n = np.arange(m)
+    return (np.exp(1j * alpha * n) * base_sequence(u, 0, m)).astype(np.complex64)
+
+
+def _f3_symbol_split(cfg: PucchF3Config):
+    dmrs_rel = _F34_DMRS_POS[cfg.nof_symbols]
+    data_rel = tuple(s for s in range(cfg.nof_symbols) if s not in dmrs_rel)
+    return dmrs_rel, data_rel
+
+
+def f3_encode(uci_bits, cfg: PucchF3Config):
+    """UE-side F3/F4 TX -> [nof_symbols, M] RE values (tests / UE emulation)."""
+    from .uci import encode_uci
+    from ...ops.modulation import modulate
+    from ...ops.scrambling import scramble_bits
+    from ...ops.transform_precode import precode as tp
+    import jax.numpy as jnp
+
+    m = cfg.nof_rb * 12
+    dmrs_rel, data_rel = _f3_symbol_split(cfg)
+    qm = 1 if cfg.pi2_bpsk else 2
+    m_data = m // cfg.occ_length
+    e = len(data_rel) * m_data * qm
+    coded = encode_uci(jnp.asarray(uci_bits), e, qm)
+    c_init = (cfg.rnti << 15) + cfg.n_id
+    scr = scramble_bits(coded[None], c_init)
+    syms = modulate(scr, "pi2bpsk" if cfg.pi2_bpsk else "qpsk")[0]
+    out = jnp.zeros((cfg.nof_symbols, m), dtype=jnp.complex64)
+    # F4 pre-DFT block spreading (TS38.211 §6.3.2.6.3)
+    occ = np.exp(2j * np.pi * cfg.occ_index * np.arange(cfg.occ_length)
+                 / cfg.occ_length).astype(np.complex64)
+    for i, s in enumerate(data_rel):
+        blk = syms[i * m_data:(i + 1) * m_data]
+        if cfg.occ_length > 1:
+            blk = jnp.concatenate([blk * occ[j] for j in range(cfg.occ_length)])
+        out = out.at[s].set(tp(blk))
+    for s in dmrs_rel:
+        out = out.at[s].set(jnp.asarray(
+            _f3_dmrs_seq(cfg, cfg.start_symbol + s)))
+    return out
+
+
+def process_format3(grid: jnp.ndarray, cfg: PucchF3Config):
+    """F3/F4 receive: estimate from DM-RS, equalize, inverse transform
+    precode, (de-spread,) demap, descramble, UCI decode."""
+    from .uci import decode_uci
+    from ...ops.modulation import demodulate
+    from ...ops.scrambling import descramble_llrs
+    from ...ops.transform_precode import deprecode
+
+    m = cfg.nof_rb * 12
+    sc = jnp.arange(cfg.rb_start * 12, cfg.rb_start * 12 + m)
+    dmrs_rel, data_rel = _f3_symbol_split(cfg)
+
+    h_acc = jnp.zeros((grid.shape[0], m), dtype=jnp.complex64)
+    noise_acc = 0.0
+    for s in dmrs_rel:
+        l = cfg.start_symbol + s
+        ref = jnp.asarray(_f3_dmrs_seq(cfg, l))
+        rx = grid[:, l, sc]
+        ls = rx * jnp.conj(ref)
+        h_acc = h_acc + ls
+        noise_acc = noise_acc + jnp.mean(
+            jnp.abs(ls - jnp.mean(ls, axis=-1, keepdims=True)) ** 2)
+    h = h_acc / len(dmrs_rel)
+    # smooth: wideband mean per port (flat-fading assumption within 1-16 RB)
+    h_flat = jnp.mean(h, axis=-1, keepdims=True) * jnp.ones_like(h)
+    h_use = 0.5 * (h + h_flat)
+    noise = noise_acc / max(len(dmrs_rel), 1)
+
+    qm = 1 if cfg.pi2_bpsk else 2
+    m_data = m // cfg.occ_length
+    occ = np.exp(2j * np.pi * cfg.occ_index * np.arange(cfg.occ_length)
+                 / cfg.occ_length).astype(np.complex64)
+    llr_parts = []
+    for s in data_rel:
+        l = cfg.start_symbol + s
+        rx = grid[:, l, sc]
+        corr = jnp.sum(jnp.conj(h_use) * rx, axis=0)
+        energy = jnp.sum(jnp.abs(h_use) ** 2, axis=0)
+        eq = corr / jnp.maximum(energy, 1e-12)
+        nv = noise / jnp.maximum(jnp.mean(energy), 1e-12)
+        x = deprecode(eq)
+        if cfg.occ_length > 1:
+            blocks = x.reshape(cfg.occ_length, m_data)
+            x = jnp.sum(blocks * jnp.conj(jnp.asarray(occ))[:, None],
+                        axis=0) / cfg.occ_length
+        nvv = jnp.full(x.shape, nv, dtype=jnp.float32)
+        llr_parts.append(demodulate(
+            x[None], nvv[None], "pi2bpsk" if cfg.pi2_bpsk else "qpsk")[0])
+    llr = jnp.concatenate(llr_parts)
+    c_init = (cfg.rnti << 15) + cfg.n_id
+    llr = descramble_llrs(llr[None], c_init)[0]
+    bits, ok, metric = decode_uci(llr, cfg.nof_uci_bits, qm)
+    return {"uci_bits": bits, "valid": ok, "metric": metric}
+
+
 @dataclasses.dataclass(frozen=True)
 class PucchF2Config:
     rb_start: int
