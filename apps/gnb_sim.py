@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""gnb_sim — run the TPU gNB PHY at line rate with a test-mode MAC.
+
+Analogue of the reference's gnb application in its MAC test mode
+(apps/gnb/gnb.cpp + mac_test_mode_adapter): a synthetic MAC schedules
+full-rate DL/UL traffic per the TDD pattern; the slot conductor drives the
+jitted slot programs; an optional TDL channel emulator closes the UL loop
+(UE TX emulated from the same chain blocks).  Prints per-stage metrics and
+slot-rate at the end.
+
+Usage:
+  python apps/gnb_sim.py [-c config.yaml] [--set run.nof_slots=200] [--trace out.json]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", default=None)
+    ap.add_argument("--set", action="append", default=[],
+                    help="dotted override, e.g. --set run.nof_slots=200")
+    ap.add_argument("--trace", default="")
+    ap.add_argument("--dump-config", action="store_true")
+    args = ap.parse_args()
+
+    from srsran_tpu.utils import config as config_mod
+    cfg = config_mod.load(args.config, args.set)
+    if args.dump_config:
+        print(config_mod.dump(cfg))
+        return
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from srsran_tpu.fapi.conductor import SlotConductor
+    from srsran_tpu.mac.test_mode import TestModeMac
+    from srsran_tpu.ran.slot_point import SlotPoint
+    from srsran_tpu.utils.metrics import registry
+    from srsran_tpu.utils import tracing
+
+    if args.trace:
+        tracing.enable_all()
+
+    print(f"gnb_sim: cell {cfg.cell.nof_rb} RB mu={cfg.cell.numerology} "
+          f"{cfg.cell.nof_ports} ports, {len(cfg.ues)} UE(s), "
+          f"{cfg.nof_slots} slots on {jax.devices()[0]}")
+
+    mac = TestModeMac(cfg.cell, cfg.phys_cell_id, cfg.ues, cfg.tdd, cfg.seed)
+    cond = SlotConductor(cfg.cell)
+    m_dl = registry.block("dl_slot")
+    m_ul = registry.block("ul_slot")
+
+    crc_ok = crc_fail = dl_slots = ul_slots = 0
+    t_start = time.monotonic()
+    for count in range(cfg.nof_slots):
+        slot = SlotPoint(cfg.cell.numerology, count)
+        with tracing.app_tracer.span("slot", count=count):
+            if cfg.tdd.is_dl(slot.count):
+                dl, tx = mac.dl_requests(slot)
+                if dl.pdsch or dl.ssb:
+                    with m_dl.measure(units=1), \
+                         tracing.l1_dl_tracer.span("dl_slot"):
+                        samples, _ = cond.process_dl(dl, tx)
+                    dl_slots += 1
+            if cfg.tdd.is_ul(slot.count):
+                ul = mac.ul_requests(slot)
+                if ul.pusch:
+                    # UE TX emulation: run the same chain as a waveform source
+                    ue_tx = _emulate_ue(cond, mac, ul, cfg)
+                    with m_ul.measure(units=1), \
+                         tracing.l1_ul_tracer.span("ul_slot"):
+                        res = cond.process_ul(ul, ue_tx)
+                    for c in res.crc:
+                        crc_ok += int(c.tb_crc_ok)
+                        crc_fail += int(not c.tb_crc_ok)
+                    ul_slots += 1
+    elapsed = time.monotonic() - t_start
+
+    print(f"done: {cfg.nof_slots} slots in {elapsed:.2f}s "
+          f"({cfg.nof_slots / elapsed:.0f} slots/s wall; "
+          f"{dl_slots} DL, {ul_slots} UL)")
+    print(f"UL CRC: {crc_ok} ok / {crc_fail} failed")
+    for s in registry.report():
+        if s.get("count"):
+            print(f"  {s['name']}: avg {s['lat_us_avg']:.0f}us "
+                  f"p99 {s['lat_us_p99']:.0f}us max {s['lat_us_max']:.0f}us")
+    if args.trace:
+        tracing.app_tracer.dump(args.trace)
+        print(f"trace written to {args.trace}")
+    if ul_slots and crc_ok == 0:
+        sys.exit("ERROR: no UL transport block decoded")
+
+
+_UE_CACHE = {}
+
+
+def _emulate_ue(cond, mac, ul, cfg):
+    """Build the UL waveform for this slot's PUSCH PDUs (UE-side TX)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from srsran_tpu.phy.slot_programs import CellConfig, dl_slot_fn
+    from srsran_tpu.phy.upper.pdsch import PdschConfig
+    from srsran_tpu.emulation import channel as chan
+    import jax
+
+    pd_cfgs, payloads = [], []
+    for pu in ul.pusch:
+        pd_cfgs.append(PdschConfig(
+            rnti=pu.rnti, rb_start=pu.rb_start, rb_count=pu.rb_count,
+            first_symbol=pu.first_symbol, nof_symbols=pu.nof_symbols,
+            modulation=pu.modulation, target_code_rate=pu.target_code_rate,
+            tbs=pu.tbs, nof_layers=pu.nof_layers, rv=pu.rv, n_id=pu.n_id,
+            dmrs_symbols=pu.dmrs_symbols,
+            dmrs_scrambling_id=pu.dmrs_scrambling_id,
+            slot_in_frame=pu.slot_in_frame))
+        payloads.append(jnp.asarray(
+            mac.rng.integers(0, 2, pu.tbs).astype(np.int8)))
+    from srsran_tpu.fapi.conductor import normalize_dl_plan
+    from srsran_tpu.fapi.messages import DlTtiRequest
+    ue_cell = CellConfig(nof_ports=cfg.cell.nof_ports, nof_rb=cfg.cell.nof_rb,
+                         dft_size=cfg.cell.dft_size,
+                         numerology=cfg.cell.numerology,
+                         center_freq_hz=cfg.cell.center_freq_hz)
+    plan, ctx = normalize_dl_plan(
+        DlTtiRequest(slot=ul.slot, pdsch=tuple(pd_cfgs)))
+    slot_in_sf = ul.slot.subframe_slot_index
+    fn = dl_slot_fn(ue_cell, plan, slot_in_sf)
+    samples, grid = fn((), (), tuple(payloads), ctx)
+    if cfg.channel_profile != "none":
+        ch = chan.ChannelConfig(
+            profile=cfg.channel_profile, sinr_db=cfg.channel_sinr_db,
+            nof_tx_ports=cfg.cell.nof_ports, nof_rx_ports=cfg.cell.nof_ports,
+            nof_subc=cfg.cell.nof_sc,
+            scs_hz=15000 << cfg.cell.numerology)
+        key = jax.random.PRNGKey(ul.slot.count)
+        rx_grid, _ = chan.run(key, grid, ch)
+        from srsran_tpu.ops import ofdm
+        return ofdm.modulate_slot(rx_grid, cfg.cell.dft_size,
+                                  cfg.cell.numerology,
+                                  slot_in_subframe=slot_in_sf,
+                                  center_freq_hz=cfg.cell.center_freq_hz)
+    return samples
+
+
+if __name__ == "__main__":
+    main()

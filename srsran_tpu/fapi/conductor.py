@@ -18,10 +18,59 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..phy.slot_programs import CellConfig, dl_slot_fn, ul_slot_fn
+from ..phy.upper import ssb as ssb_mod
+from ..phy.upper import pdsch as pdsch_mod
+from ..phy.upper import pusch as pusch_mod
+from ..phy.upper import pdcch as pdcch_mod
+from ..phy.upper import pucch as pucch_mod
+from ..phy.upper import csi_rs as csi_rs_mod
+from ..phy.upper.dmrs import c_inits_for
 from ..ran.ldpc_params import segment_tb, select_base_graph
 from .messages import (DlTtiRequest, TxDataRequest, UlTtiRequest, SlotResults,
                        CrcIndicationPdu, RxDataIndicationPdu, UciIndicationPdu,
                        RachIndicationPreamble)
+
+
+def _norm(cfg, **zero_fields):
+    """dataclasses.replace clearing slot-varying fields from the jit key."""
+    return dataclasses.replace(cfg, **zero_fields)
+
+
+def normalize_dl_plan(dl: DlTtiRequest):
+    """Slot-invariant plan key + the slot context arrays for this slot."""
+    ssb_n = tuple(_norm(c, sfn=0, hrf=False) for c in dl.ssb)
+    pdcch_n = tuple(_norm(c, slot_in_frame=0) for c in dl.pdcch)
+    pdsch_n = tuple(_norm(c, slot_in_frame=0) for c in dl.pdsch)
+    csi_n = tuple(_norm(c, slot_in_frame=0) for c in dl.csi_rs)
+    ctx = {
+        "ssb": tuple(
+            tuple(jnp.asarray(x) for x in ssb_mod.slot_ctx_for(c))
+            for c in dl.ssb),
+        "pdcch": tuple(jnp.asarray(pdcch_mod.dmrs_cinits_for(c))
+                       for c in dl.pdcch),
+        "pdsch": tuple(jnp.asarray(c_inits_for(pdsch_mod.dmrs_config(c)))
+                       for c in dl.pdsch),
+        "csi": tuple(jnp.asarray(csi_rs_mod.c_init_for(c)) for c in dl.csi_rs),
+    }
+    return (ssb_n, pdcch_n, pdsch_n, csi_n), ctx
+
+
+def normalize_ul_plan(ul: UlTtiRequest):
+    pusch_n = tuple(_norm(c, slot_in_frame=0) for c in ul.pusch)
+    f0_n = tuple(_norm(c, slot=0) for c in ul.pucch_f0)
+    f1_n = tuple(_norm(c, slot=0) for c in ul.pucch_f1)
+    f2_n = tuple(_norm(c, slot=0) for c in ul.pucch_f2)
+    ctx = {
+        "pusch": tuple(jnp.asarray(c_inits_for(pusch_mod.dmrs_config(c)))
+                       for c in ul.pusch),
+        "f0": tuple(jnp.asarray(pucch_mod.ncs_for(c.n_id, c.slot))
+                    for c in ul.pucch_f0),
+        "f1": tuple(jnp.asarray(pucch_mod.ncs_for(c.n_id, c.slot))
+                    for c in ul.pucch_f1),
+        "f2": tuple(jnp.asarray(pucch_mod.f2_dmrs_cinits(c))
+                    for c in ul.pucch_f2),
+    }
+    return (pusch_n, f0_n, f1_n, f2_n, ul.prach), ctx
 
 
 class HarqBufferPool:
@@ -54,16 +103,22 @@ class SlotConductor:
     # ---------------------------------------------------------------- DL
 
     def process_dl(self, dl_tti: DlTtiRequest, tx_data: TxDataRequest):
-        """Returns (samples [P, T] device array, grid) — async futures."""
+        """Returns (samples [P, T] device array, grid) — async futures.
+
+        The jitted program is keyed on a slot-invariant plan; slot-varying
+        scrambling inits enter as traced inputs (so one compile serves all
+        slots — the analogue of the reference's per-slot processor reuse).
+        """
         slot_in_sf = dl_tti.slot.subframe_slot_index
-        fn = dl_slot_fn(self.cell, dl_tti.plan_key(), slot_in_sf)
+        plan, ctx = normalize_dl_plan(dl_tti)
+        fn = dl_slot_fn(self.cell, plan, slot_in_sf)
         mib = tuple(jnp.asarray(np.asarray(m, dtype=np.int8))
                     for m in tx_data.ssb_mib)
         dci = tuple(jnp.asarray(np.asarray(p, dtype=np.int8))
                     for p in tx_data.pdcch_payloads)
         sch = tuple(jnp.asarray(np.asarray(p, dtype=np.int8))
                     for p in tx_data.pdsch_payloads)
-        return fn(mib, dci, sch)
+        return fn(mib, dci, sch, ctx)
 
     # ---------------------------------------------------------------- UL
 
@@ -75,12 +130,13 @@ class SlotConductor:
     def process_ul(self, ul_tti: UlTtiRequest, samples,
                    prach_fd=()) -> SlotResults:
         slot_in_sf = ul_tti.slot.subframe_slot_index
-        fn = ul_slot_fn(self.cell, ul_tti.plan_key(), slot_in_sf)
+        plan, ctx = normalize_ul_plan(ul_tti)
+        fn = ul_slot_fn(self.cell, plan, slot_in_sf)
         harq_meta = ul_tti.pusch_harq or tuple((0, True) for _ in ul_tti.pusch)
         softs = tuple(
             self.harq_pool.get(c.rnti, hid, self._pusch_soft_shape(c), new)
             for c, (hid, new) in zip(ul_tti.pusch, harq_meta))
-        out = fn(samples, tuple(prach_fd), softs)
+        out = fn(samples, tuple(prach_fd), softs, ctx)
 
         res = SlotResults(slot=ul_tti.slot)
         for cfg, (hid, _), r in zip(ul_tti.pusch, harq_meta, out["pusch"]):

@@ -38,6 +38,13 @@ def _c_init(cfg: CsiRsConfig, l: int) -> int:
             * (2 * cfg.scrambling_id + 1) + cfg.scrambling_id) % (1 << 31)
 
 
+def c_init_for(cfg: CsiRsConfig, slot_in_frame: int | None = None) -> np.ndarray:
+    sif = cfg.slot_in_frame if slot_in_frame is None else slot_in_frame
+    return np.array(((1 << 10) * (14 * sif + cfg.symbol + 1)
+                     * (2 * cfg.scrambling_id + 1) + cfg.scrambling_id)
+                    % (1 << 31), dtype=np.uint32)
+
+
 @functools.lru_cache(maxsize=None)
 def _layout(row: int, k0: int):
     """(nof_ports, density_per_rb, [(port, sc_off, wf)] entries per RB)."""
@@ -59,12 +66,14 @@ def _layout(row: int, k0: int):
     raise NotImplementedError(f"CSI-RS row {row}")
 
 
-def process(grid: jnp.ndarray, cfg: CsiRsConfig) -> jnp.ndarray:
-    """Map CSI-RS into a [P, nsym, nsc] grid."""
+def process(grid: jnp.ndarray, cfg: CsiRsConfig, c_init=None) -> jnp.ndarray:
+    """Map CSI-RS into a [P, nsym, nsc] grid.  c_init may be traced."""
     nof_ports, density, entries = _layout(cfg.row, cfg.k0)
     l = cfg.symbol
     npil = density * cfg.rb_count
-    bits = gold_sequence(_c_init(cfg, l), 2 * npil,
+    if c_init is None:
+        c_init = _c_init(cfg, l)
+    bits = gold_sequence(c_init, 2 * npil,
                          advance=2 * density * cfg.rb_start)
     seq = modulate(bits[None], "qpsk")[0] * cfg.amplitude     # [npil]
     rbs = np.arange(cfg.rb_start, cfg.rb_start + cfg.rb_count)

@@ -50,16 +50,31 @@ def _c_init(cfg: DmrsConfig, symbol: int) -> int:
             + 2 * cfg.scrambling_id + cfg.n_scid) % (1 << 31)
 
 
-def sequence(cfg: DmrsConfig, symbol: int) -> jnp.ndarray:
+def c_inits_for(cfg: DmrsConfig, slot_in_frame: int | None = None) -> np.ndarray:
+    """Host-side per-DM-RS-symbol c_init values (uint32 [nof_dmrs_symbols]).
+
+    Passed as a *traced* input to the slot programs so that the jit key does
+    not depend on the slot index (one compiled program serves every slot).
+    """
+    sif = cfg.slot_in_frame if slot_in_frame is None else slot_in_frame
+    return np.array(
+        [((1 << 17) * (14 * sif + l + 1) * (2 * cfg.scrambling_id + 1)
+          + 2 * cfg.scrambling_id + cfg.n_scid) % (1 << 31)
+         for l in cfg.symbols], dtype=np.uint32)
+
+
+def sequence(cfg: DmrsConfig, symbol: int, c_init=None) -> jnp.ndarray:
     """Base QPSK pilot sequence for one symbol, length 6*rb_count.
 
-    The Gold sequence is advanced so that PRB ``rb_start`` is consistent with
-    a carrier that starts at CRB0 (reference-point behaviour of the
-    reference's sequence generators).
+    ``c_init`` may be a traced uint32 scalar (slot-varying input); when None
+    it is derived statically from the config.  The Gold sequence is advanced
+    so that PRB ``rb_start`` is consistent with a carrier starting at CRB0.
     """
     npilot = 6 * cfg.rb_count
     adv = 2 * 6 * cfg.rb_start
-    bits = gold_sequence(_c_init(cfg, symbol), 2 * npilot, advance=adv)
+    if c_init is None:
+        c_init = _c_init(cfg, symbol)
+    bits = gold_sequence(c_init, 2 * npilot, advance=adv)
     return modulate(bits[None], "qpsk")[0] * cfg.amplitude
 
 
@@ -70,19 +85,23 @@ def _type1_sc_indices(rb_start: int, rb_count: int, delta: int) -> np.ndarray:
     return (rb_start * 12 + 2 * base + delta).astype(np.int32)
 
 
-def pilots_for_port(cfg: DmrsConfig, port: int) -> jnp.ndarray:
-    """Dense pilot values [nsym, 6*rb_count] for one DM-RS port (w_f applied)."""
+def pilots_for_port(cfg: DmrsConfig, port: int, c_inits=None) -> jnp.ndarray:
+    """Dense pilot values [nsym, 6*rb_count] for one DM-RS port (w_f applied).
+
+    c_inits: optional traced uint32 [nof_dmrs_symbols] (see c_inits_for).
+    """
     delta, wf, wt = TYPE1_PORT_CONFIG[port]
     rows = []
     for i, l in enumerate(cfg.symbols):
-        seq = sequence(cfg, l)
+        seq = sequence(cfg, l, None if c_inits is None else c_inits[i])
         alt = jnp.where(jnp.arange(seq.shape[0]) % 2 == 0, wf[0], wf[1]).astype(jnp.float32)
         rows.append(seq * alt * wt[i % 2])
     return jnp.stack(rows, axis=0)
 
 
 def map_to_grid(grid: jnp.ndarray, cfg: DmrsConfig,
-                precoding: np.ndarray | None = None) -> jnp.ndarray:
+                precoding: np.ndarray | None = None,
+                c_inits=None) -> jnp.ndarray:
     """Scatter DM-RS for all ports into a [P, nsym, nsc] grid.
 
     With ``precoding`` [P, L] the per-layer (== per-DMRS-port) pilots are
@@ -91,7 +110,7 @@ def map_to_grid(grid: jnp.ndarray, cfg: DmrsConfig,
     for li, dmrs_port in enumerate(cfg.ports):
         delta = TYPE1_PORT_CONFIG[dmrs_port][0]
         sc = jnp.asarray(_type1_sc_indices(cfg.rb_start, cfg.rb_count, delta))
-        pilots = pilots_for_port(cfg, dmrs_port)               # [S, K]
+        pilots = pilots_for_port(cfg, dmrs_port, c_inits)      # [S, K]
         if precoding is None:
             for si, l in enumerate(cfg.symbols):
                 grid = grid.at[li, l, sc].add(pilots[si])

@@ -119,15 +119,29 @@ def _candidate_re_plan(coreset: CoresetConfig, cce_index: int,
             np.array(dmrs_prb, dtype=np.int32))
 
 
+def dmrs_cinits_for(cfg: PdcchConfig, slot_in_frame: int | None = None) -> np.ndarray:
+    """Host-side per-CORESET-symbol DM-RS c_init (uint32 [duration])."""
+    sif = cfg.slot_in_frame if slot_in_frame is None else slot_in_frame
+    return np.array(
+        [((1 << 17) * (14 * sif + l + 1) * (2 * cfg.n_id + 1) + 2 * cfg.n_id)
+         % (1 << 31)
+         for l in range(cfg.coreset.start_symbol,
+                        cfg.coreset.start_symbol + cfg.coreset.duration)],
+        dtype=np.uint32)
+
+
 def _dmrs_values(cfg: PdcchConfig, dmrs_pos: np.ndarray,
-                 dmrs_prb: np.ndarray) -> jnp.ndarray:
+                 dmrs_prb: np.ndarray, cinits=None) -> jnp.ndarray:
     """QPSK pilots; Gold advance = 2*3*prb within each symbol's sequence."""
     out = []
     for l in sorted(set(dmrs_pos[:, 0].tolist())):
         sel = dmrs_pos[:, 0] == l
         prbs = dmrs_prb[sel]
-        c_init = ((1 << 17) * (14 * cfg.slot_in_frame + l + 1)
-                  * (2 * cfg.n_id + 1) + 2 * cfg.n_id) % (1 << 31)
+        if cinits is None:
+            c_init = ((1 << 17) * (14 * cfg.slot_in_frame + l + 1)
+                      * (2 * cfg.n_id + 1) + 2 * cfg.n_id) % (1 << 31)
+        else:
+            c_init = cinits[l - cfg.coreset.start_symbol]
         pmin, pmax = int(prbs.min()), int(prbs.max())
         bits = gold_sequence(c_init, 2 * 3 * (pmax - pmin + 1),
                              advance=2 * 3 * pmin)
@@ -144,7 +158,7 @@ def _dmrs_values(cfg: PdcchConfig, dmrs_pos: np.ndarray,
 
 
 def process(grid: jnp.ndarray, payload: jnp.ndarray, cfg: PdcchConfig,
-            amplitude: float = 1.0) -> jnp.ndarray:
+            amplitude: float = 1.0, dmrs_cinits=None) -> jnp.ndarray:
     """Encode + modulate + map one DCI into port 0 of the grid."""
     encoded = encode_dci(payload, cfg)
     c_init = ((cfg.n_rnti << 16) + cfg.n_id_data) % (1 << 31)
@@ -154,7 +168,7 @@ def process(grid: jnp.ndarray, payload: jnp.ndarray, cfg: PdcchConfig,
         cfg.coreset, cfg.cce_index, cfg.aggregation_level)
     grid = grid.at[0, jnp.asarray(data_pos[:, 0]),
                    jnp.asarray(data_pos[:, 1])].add(syms)
-    pilots = _dmrs_values(cfg, dmrs_pos, dmrs_prb) * amplitude
+    pilots = _dmrs_values(cfg, dmrs_pos, dmrs_prb, dmrs_cinits) * amplitude
     grid = grid.at[0, jnp.asarray(dmrs_pos[:, 0]),
                    jnp.asarray(dmrs_pos[:, 1])].add(pilots)
     return grid

@@ -127,9 +127,22 @@ def encode_transport_block(payload_bits: jnp.ndarray, cfg: PdschConfig):
     return jnp.concatenate(outs, axis=-1), seg
 
 
+def dmrs_config(cfg: PdschConfig) -> DmrsConfig:
+    return DmrsConfig(
+        rb_start=cfg.rb_start, rb_count=cfg.rb_count, symbols=cfg.dmrs_symbols,
+        ports=tuple(range(cfg.nof_layers)), scrambling_id=cfg.dmrs_scrambling_id,
+        n_scid=cfg.n_scid, numerology=cfg.numerology,
+        slot_in_frame=cfg.slot_in_frame)
+
+
 def process(grid: jnp.ndarray, payload_bits: jnp.ndarray, cfg: PdschConfig,
-            precoding: np.ndarray | None = None) -> jnp.ndarray:
-    """Run the full PDSCH chain into a [P, nsym, nsc] resource grid."""
+            precoding: np.ndarray | None = None,
+            dmrs_cinits=None) -> jnp.ndarray:
+    """Run the full PDSCH chain into a [P, nsym, nsc] resource grid.
+
+    dmrs_cinits: optional traced uint32 [nof_dmrs_symbols] so the compiled
+    program is slot-independent (see dmrs.c_inits_for).
+    """
     nof_ports = grid.shape[0]
     if precoding is None:
         precoding = identity_precoder(nof_ports, cfg.nof_layers)
@@ -145,10 +158,5 @@ def process(grid: jnp.ndarray, payload_bits: jnp.ndarray, cfg: PdschConfig,
     sym_idx = jnp.asarray(plan[:, 0])
     sc_idx = jnp.asarray(plan[:, 1])
     grid = grid.at[:, sym_idx, sc_idx].add(ports)
-    dmrs_cfg = DmrsConfig(
-        rb_start=cfg.rb_start, rb_count=cfg.rb_count, symbols=cfg.dmrs_symbols,
-        ports=tuple(range(cfg.nof_layers)), scrambling_id=cfg.dmrs_scrambling_id,
-        n_scid=cfg.n_scid, numerology=cfg.numerology,
-        slot_in_frame=cfg.slot_in_frame)
-    grid = map_dmrs(grid, dmrs_cfg, precoding)
+    grid = map_dmrs(grid, dmrs_config(cfg), precoding, dmrs_cinits)
     return grid

@@ -146,13 +146,20 @@ def detect(rx_fd: jnp.ndarray, cfg: PrachConfig,
     for p in range(cfg.nof_preambles):
         root_idx, shift_idx = divmod(cfg.start_preamble + p, spr)
         start = (idft_size - (shift_idx * ncs * idft_size) // l_ra) % idft_size
-        wpow = jnp.sum(power2[root_idx, start:start + win])
-        noise_bin = (total_per_root[root_idx] - wpow) / (idft_size - win)
         seg = power2[root_idx, start:start + win][:search]
         peak_idx = jnp.argmax(seg)
-        # metric = window energy vs expected noise energy in the window
-        # (prach_detector_generic_impl.cpp:264-299 numerator/denominator).
-        metric = wpow / jnp.maximum(noise_bin * win, 1e-12)
+        if ncs == 0 or win >= idft_size:
+            # Whole delay range is one window (zeroCorrelationZone 0):
+            # peak-to-average metric instead of window-vs-rest.
+            peak = seg[peak_idx]
+            noise_bin = (total_per_root[root_idx] - peak) / (idft_size - 1)
+            metric = peak / jnp.maximum(noise_bin, 1e-12) / 8.0
+        else:
+            wpow = jnp.sum(power2[root_idx, start:start + win])
+            noise_bin = (total_per_root[root_idx] - wpow) / (idft_size - win)
+            # metric = window energy vs expected noise energy in the window
+            # (prach_detector_generic_impl.cpp:264-299).
+            metric = wpow / jnp.maximum(noise_bin * win, 1e-12)
         ta = peak_idx / (idft_size * cfg.scs_hz)
         metrics.append(metric)
         tas.append(ta)

@@ -46,17 +46,29 @@ def _ncs_table(n_id: int, slot: int) -> np.ndarray:
     return out
 
 
+def ncs_for(n_id: int, slot: int) -> np.ndarray:
+    """Host-side n_cs(ns, l) [14] — pass as a traced input so compiled PUCCH
+    programs are slot-independent."""
+    return _ncs_table(n_id, slot).copy()
+
+
 def _alpha(m0: int, m_cs: int, n_id: int, slot: int, symbol: int) -> float:
     ncs = _ncs_table(n_id, slot)[symbol]
     return 2 * np.pi / 12 * ((m0 + m_cs + ncs) % 12)
 
 
 def _f01_sequence(n_id: int, slot: int, symbol: int, m0: int,
-                  m_cs: int = 0) -> np.ndarray:
+                  m_cs: int = 0, ncs_val=None):
+    """Length-12 base sequence with cyclic shift; ``ncs_val`` may be traced."""
     u, v = n_id % 30, 0
-    alpha = _alpha(m0, m_cs, n_id, slot, symbol)
-    n = np.arange(12)
-    return (np.exp(1j * alpha * n) * base_sequence(u, v, 12)).astype(np.complex64)
+    if ncs_val is None:
+        alpha = _alpha(m0, m_cs, n_id, slot, symbol)
+        n = np.arange(12)
+        return (np.exp(1j * alpha * n) * base_sequence(u, v, 12)).astype(np.complex64)
+    alpha = 2 * jnp.pi / 12 * ((m0 + m_cs + ncs_val) % 12)
+    n = jnp.arange(12)
+    return jnp.exp(1j * alpha.astype(jnp.float32) * n) * jnp.asarray(
+        base_sequence(u, v, 12))
 
 
 # ----------------------------------------------------------------- Format 0
@@ -74,7 +86,7 @@ class PucchF0Config:
 
 
 def detect_format0(grid: jnp.ndarray, cfg: PucchF0Config,
-                   threshold: float = 4.0):
+                   threshold: float = 4.0, ncs=None):
     """Detect HARQ/SR on PUCCH F0.
 
     grid: [P, nsym, nsc].  Returns dict with detected bits + metric.
@@ -95,8 +107,9 @@ def detect_format0(grid: jnp.ndarray, cfg: PucchF0Config,
         for s in range(cfg.nof_symbols):
             l = cfg.start_symbol + s
             rx = grid[:, l, sc]                                  # [P, 12]
-            ref = jnp.asarray(_f01_sequence(cfg.n_id, cfg.slot, l,
-                                            cfg.initial_cyclic_shift, m_cs))
+            ref = jnp.asarray(_f01_sequence(
+                cfg.n_id, cfg.slot, l, cfg.initial_cyclic_shift, m_cs,
+                None if ncs is None else ncs[l]))
             acc = acc + jnp.abs(jnp.sum(rx * jnp.conj(ref), axis=-1)) ** 2
         corr_total.append(jnp.sum(acc))
     for s in range(cfg.nof_symbols):
@@ -139,7 +152,7 @@ def _occ(idx: int, length: int) -> np.ndarray:
 
 
 def detect_format1(grid: jnp.ndarray, cfg: PucchF1Config,
-                   threshold: float = 1.5):
+                   threshold: float = 1.5, ncs=None):
     """Despread + coherently combine + decide (pucch_detector_format1.h:45-150)."""
     n_data = cfg.nof_symbols // 2
     n_dmrs = cfg.nof_symbols - n_data
@@ -152,8 +165,9 @@ def detect_format1(grid: jnp.ndarray, cfg: PucchF1Config,
     di = mi = 0
     for s in range(cfg.nof_symbols):
         l = cfg.start_symbol + s
-        ref = jnp.asarray(_f01_sequence(cfg.n_id, cfg.slot, l,
-                                        cfg.initial_cyclic_shift))
+        ref = jnp.asarray(_f01_sequence(
+            cfg.n_id, cfg.slot, l, cfg.initial_cyclic_shift,
+            0, None if ncs is None else ncs[l]))
         rx = grid[:, l, sc] * jnp.conj(ref)
         if s % 2 == 0:      # DM-RS symbols are the even ones
             dm_acc = dm_acc + rx * np.conj(occ_dmrs[mi])
@@ -207,14 +221,19 @@ class PucchF3Config:
     occ_index: int = 0
 
 
-def _f3_dmrs_seq(cfg: PucchF3Config, l: int) -> np.ndarray:
-    """Low-PAPR DM-RS across the allocation for one symbol."""
+def _f3_dmrs_seq(cfg: PucchF3Config, l: int, ncs_val=None):
+    """Low-PAPR DM-RS across the allocation for one symbol (ncs may be traced)."""
     u = cfg.n_id_hopping % 30
     m = cfg.nof_rb * 12
-    ncs = _ncs_table(cfg.n_id_hopping, cfg.slot)[l]
-    alpha = 2 * np.pi / 12 * (ncs % 12)
-    n = np.arange(m)
-    return (np.exp(1j * alpha * n) * base_sequence(u, 0, m)).astype(np.complex64)
+    if ncs_val is None:
+        ncs = _ncs_table(cfg.n_id_hopping, cfg.slot)[l]
+        alpha = 2 * np.pi / 12 * (ncs % 12)
+        n = np.arange(m)
+        return (np.exp(1j * alpha * n) * base_sequence(u, 0, m)).astype(np.complex64)
+    alpha = 2 * jnp.pi / 12 * (ncs_val % 12)
+    n = jnp.arange(m)
+    return jnp.exp(1j * alpha.astype(jnp.float32) * n) * jnp.asarray(
+        base_sequence(u, 0, m))
 
 
 def _f3_symbol_split(cfg: PucchF3Config):
@@ -255,7 +274,7 @@ def f3_encode(uci_bits, cfg: PucchF3Config):
     return out
 
 
-def process_format3(grid: jnp.ndarray, cfg: PucchF3Config):
+def process_format3(grid: jnp.ndarray, cfg: PucchF3Config, ncs=None):
     """F3/F4 receive: estimate from DM-RS, equalize, inverse transform
     precode, (de-spread,) demap, descramble, UCI decode."""
     from .uci import decode_uci
@@ -271,7 +290,7 @@ def process_format3(grid: jnp.ndarray, cfg: PucchF3Config):
     noise_acc = 0.0
     for s in dmrs_rel:
         l = cfg.start_symbol + s
-        ref = jnp.asarray(_f3_dmrs_seq(cfg, l))
+        ref = jnp.asarray(_f3_dmrs_seq(cfg, l, None if ncs is None else ncs[l]))
         rx = grid[:, l, sc]
         ls = rx * jnp.conj(ref)
         h_acc = h_acc + ls
@@ -323,7 +342,16 @@ class PucchF2Config:
     slot: int = 0
 
 
-def process_format2(grid: jnp.ndarray, cfg: PucchF2Config):
+def f2_dmrs_cinits(cfg: PucchF2Config, slot: int | None = None):
+    """Host-side DM-RS c_init per symbol (uint32 [nof_symbols])."""
+    sl = cfg.slot if slot is None else slot
+    return np.array(
+        [((1 << 17) * (14 * sl + cfg.start_symbol + s + 1) * (2 * cfg.n_id0 + 1)
+          + 2 * cfg.n_id0) % (1 << 31) for s in range(cfg.nof_symbols)],
+        dtype=np.uint32)
+
+
+def process_format2(grid: jnp.ndarray, cfg: PucchF2Config, dmrs_cinits=None):
     """Estimate (comb-3 DM-RS), equalize, demap, descramble, UCI-decode."""
     p = grid.shape[0]
     data_sc, dmrs_sc = [], []
@@ -339,13 +367,17 @@ def process_format2(grid: jnp.ndarray, cfg: PucchF2Config):
     for s in range(cfg.nof_symbols):
         l = cfg.start_symbol + s
         # DM-RS pilots: Gold c_init per TS38.211 §6.4.1.3.2.1 with n_id0
-        c_init = ((1 << 17) * (14 * cfg.slot + l + 1) * (2 * cfg.n_id0 + 1)
-                  + 2 * cfg.n_id0) % (1 << 31)
+        if dmrs_cinits is None:
+            c_init = ((1 << 17) * (14 * cfg.slot + l + 1) * (2 * cfg.n_id0 + 1)
+                      + 2 * cfg.n_id0) % (1 << 31)
+        else:
+            c_init = dmrs_cinits[s]
         npil = 4 * cfg.nof_rb
         adv = 2 * 4 * cfg.rb_start
-        bits = gold_sequence_np(c_init, 2 * npil, advance=adv)
+        from ...ops.gold import gold_sequence
         from ...ops.modulation import modulate
-        pilots = modulate(jnp.asarray(bits[None].astype(np.int8)), "qpsk")[0]
+        bits = gold_sequence(c_init, 2 * npil, advance=adv)
+        pilots = modulate(bits[None], "qpsk")[0]
         rx_pil = grid[:, l, jnp.asarray(dmrs_sc)]               # [P, npil]
         ls = rx_pil * jnp.conj(pilots)[None]
         h_pil = jnp.mean(ls, axis=-1, keepdims=True) * jnp.ones_like(ls)

@@ -105,17 +105,22 @@ def demux_plan(cfg: PuschConfig):
     return dcfg
 
 
-def estimate_channel(grid: jnp.ndarray, cfg: PuschConfig) -> chest.ChannelEstimate:
-    """Estimate [P, L, nsym_slot, nsc_alloc] channel from DM-RS."""
-    dmrs_cfg = DmrsConfig(
+def dmrs_config(cfg: PuschConfig) -> DmrsConfig:
+    return DmrsConfig(
         rb_start=cfg.rb_start, rb_count=cfg.rb_count, symbols=cfg.dmrs_symbols,
         ports=tuple(range(cfg.nof_layers)), scrambling_id=cfg.dmrs_scrambling_id,
         n_scid=cfg.n_scid, numerology=cfg.numerology,
         slot_in_frame=cfg.slot_in_frame)
+
+
+def estimate_channel(grid: jnp.ndarray, cfg: PuschConfig,
+                     dmrs_cinits=None) -> chest.ChannelEstimate:
+    """Estimate [P, L, nsym_slot, nsc_alloc] channel from DM-RS."""
+    dmrs_cfg = dmrs_config(cfg)
     delta = 0  # all supported layer counts (<=2) use CDM group 0 comb
     sc_abs = _type1_sc_indices(cfg.rb_start, cfg.rb_count, delta)
     rx_pilots = grid[:, jnp.asarray(np.asarray(cfg.dmrs_symbols)), :][:, :, jnp.asarray(sc_abs)]
-    expected = jnp.stack([pilots_for_port(dmrs_cfg, p)
+    expected = jnp.stack([pilots_for_port(dmrs_cfg, p, dmrs_cinits)
                           for p in range(cfg.nof_layers)])          # [L, S, K]
     # symbol start times for CFO estimation
     lens = cp_lengths(CyclicPrefix.NORMAL, cfg.numerology, 2048)
@@ -132,9 +137,10 @@ def estimate_channel(grid: jnp.ndarray, cfg: PuschConfig) -> chest.ChannelEstima
 
 def process(grid: jnp.ndarray, cfg: PuschConfig,
             soft_buffer: jnp.ndarray | None = None,
-            nof_iterations: int = 6) -> PuschResult:
+            nof_iterations: int = 6,
+            dmrs_cinits=None) -> PuschResult:
     """Full PUSCH receive.  grid: complex64 [P, nsym, nsc] rx resource grid."""
-    est = estimate_channel(grid, cfg)
+    est = estimate_channel(grid, cfg, dmrs_cinits)
 
     plan = _data_re_plan(cfg.rb_start, cfg.rb_count, cfg.first_symbol,
                          cfg.nof_symbols, cfg.dmrs_symbols,

@@ -121,15 +121,30 @@ def _payload_maps(sfn: int, hrf: bool, ssb_idx: int, l_max: int, k_ssb: int):
     return dest, static
 
 
-def pbch_payload(cfg: SsbConfig, mib24) -> jnp.ndarray:
+def pbch_payload(cfg: SsbConfig, mib24, static_bits=None) -> jnp.ndarray:
     """TS38.212 §7.1.1: interleave the 24 MIB bits + 8 timing bits into a[32].
 
-    Traceable: the MIB bits may be a jax array; timing bits are static.
+    Traceable: the MIB bits may be a jax array.  ``static_bits`` (the timing
+    bits, from slot_ctx_for) may be a traced [32] array so the jit key does
+    not depend on the SFN.
     """
     dest, static = _payload_maps(cfg.sfn, cfg.hrf, cfg.ssb_idx, cfg.l_max,
                                  cfg.k_ssb)
-    a = jnp.asarray(static)
+    a = jnp.asarray(static) if static_bits is None else jnp.asarray(static_bits)
     return a.at[jnp.asarray(dest)].set(jnp.asarray(mib24).astype(jnp.int8))
+
+
+def slot_ctx_for(cfg: SsbConfig, sfn: int | None = None,
+                 hrf: bool | None = None):
+    """Host-side slot-varying SSB inputs: (static_bits[32], scramble_mask[32]).
+
+    Pass these as traced inputs to keep the compiled SSB program independent
+    of the SFN / half-frame."""
+    sfn = cfg.sfn if sfn is None else sfn
+    hrf = cfg.hrf if hrf is None else hrf
+    _, static = _payload_maps(sfn, hrf, cfg.ssb_idx, cfg.l_max, cfg.k_ssb)
+    mask = _scramble_mask(cfg.phys_cell_id, sfn, cfg.l_max)
+    return static, mask
 
 
 @functools.lru_cache(maxsize=None)
@@ -151,15 +166,17 @@ def _scramble_mask(phys_cell_id: int, sfn: int, l_max: int) -> np.ndarray:
     return mask
 
 
-def pbch_scramble_payload(a, cfg: SsbConfig):
+def pbch_scramble_payload(a, cfg: SsbConfig, mask=None):
     """TS38.212 §7.1.2 first scrambling (timing bits pass through).
 
-    Involutive; traceable (works on numpy or jax arrays).
+    Involutive; traceable (works on numpy or jax arrays; ``mask`` may be a
+    traced [32] array from slot_ctx_for).
     """
-    mask = _scramble_mask(cfg.phys_cell_id, cfg.sfn, cfg.l_max)
-    if isinstance(a, np.ndarray):
+    if mask is None:
+        mask = _scramble_mask(cfg.phys_cell_id, cfg.sfn, cfg.l_max)
+    if isinstance(a, np.ndarray) and isinstance(mask, np.ndarray):
         return a ^ mask
-    return (jnp.asarray(a).astype(jnp.int8) ^ jnp.asarray(mask))
+    return (jnp.asarray(a).astype(jnp.int8) ^ jnp.asarray(mask).astype(jnp.int8))
 
 
 @functools.lru_cache(maxsize=None)
@@ -167,10 +184,15 @@ def _pbch_code() -> polar_params.PolarCode:
     return polar_params.polar_code(PBCH_B, PBCH_E, nmax=9, ibil=False)
 
 
-def pbch_encode(cfg: SsbConfig, mib24) -> jnp.ndarray:
-    """Full §7.1 chain -> rate-matched bits int8 [E=864].  Traceable."""
-    a = pbch_payload(cfg, mib24)
-    a_prime = pbch_scramble_payload(a, cfg)
+def pbch_encode(cfg: SsbConfig, mib24, slot_ctx=None) -> jnp.ndarray:
+    """Full §7.1 chain -> rate-matched bits int8 [E=864].  Traceable.
+
+    slot_ctx: optional (static_bits, scramble_mask) traced pair from
+    slot_ctx_for — removes the SFN from the jit key.
+    """
+    static_bits, mask = slot_ctx if slot_ctx is not None else (None, None)
+    a = pbch_payload(cfg, mib24, static_bits)
+    a_prime = pbch_scramble_payload(a, cfg, mask)
     bits = jnp.asarray(a_prime)[None]
     c = jnp.concatenate([bits, crc(bits, "crc24C")], axis=-1)   # [1, 56]
     code = _pbch_code()
@@ -221,7 +243,7 @@ def _ssb_re_maps(v: int):
     return (np.array(dmrs, dtype=np.int32), np.array(data, dtype=np.int32))
 
 
-def ssb_block(cfg: SsbConfig, mib24) -> jnp.ndarray:
+def ssb_block(cfg: SsbConfig, mib24, slot_ctx=None) -> jnp.ndarray:
     """Produce the dense [4, 240] SSB patch (amplitudes per TS38.213 SSS ref)."""
     patch = jnp.zeros((SSB_NSYMB, SSB_NSC), dtype=jnp.complex64)
     beta_pss = 10.0 ** (cfg.beta_pss_db / 20.0)
@@ -232,14 +254,15 @@ def ssb_block(cfg: SsbConfig, mib24) -> jnp.ndarray:
     dmrs_pos, data_pos = _ssb_re_maps(cfg.phys_cell_id % 4)
     patch = patch.at[jnp.asarray(dmrs_pos[:, 0]), jnp.asarray(dmrs_pos[:, 1])].set(
         pbch_dmrs(cfg))
-    data = pbch_modulate(pbch_encode(cfg, mib24), cfg)
+    data = pbch_modulate(pbch_encode(cfg, mib24, slot_ctx), cfg)
     patch = patch.at[jnp.asarray(data_pos[:, 0]), jnp.asarray(data_pos[:, 1])].set(data)
     return patch
 
 
-def map_ssb_to_grid(grid: jnp.ndarray, cfg: SsbConfig, mib24) -> jnp.ndarray:
+def map_ssb_to_grid(grid: jnp.ndarray, cfg: SsbConfig, mib24,
+                    slot_ctx=None) -> jnp.ndarray:
     """Scatter the SSB patch into a [..., nsymb, nsc] slot grid."""
-    patch = ssb_block(cfg, mib24)
+    patch = ssb_block(cfg, mib24, slot_ctx)
     l0, k0 = cfg.first_symbol, cfg.first_subcarrier
     return grid.at[..., l0:l0 + SSB_NSYMB, k0:k0 + SSB_NSC].add(patch)
 
