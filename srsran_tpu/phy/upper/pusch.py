@@ -56,6 +56,7 @@ class PuschConfig:
     reserved_cdm_groups: int = 2
     equalizer: str = "zf"      # 'zf' | 'mmse' (mmse only 1 layer)
     uci: UciOnPuschConfig = UciOnPuschConfig()
+    transform_precoding: bool = False  # DFT-s-OFDM (single layer only)
 
 
 @dataclasses.dataclass
@@ -120,8 +121,17 @@ def estimate_channel(grid: jnp.ndarray, cfg: PuschConfig,
     delta = 0  # all supported layer counts (<=2) use CDM group 0 comb
     sc_abs = _type1_sc_indices(cfg.rb_start, cfg.rb_count, delta)
     rx_pilots = grid[:, jnp.asarray(np.asarray(cfg.dmrs_symbols)), :][:, :, jnp.asarray(sc_abs)]
-    expected = jnp.stack([pilots_for_port(dmrs_cfg, p, dmrs_cinits)
-                          for p in range(cfg.nof_layers)])          # [L, S, K]
+    if cfg.transform_precoding:
+        # DFT-s-OFDM DM-RS uses low-PAPR sequences (TS38.211 §6.4.1.1.1.2).
+        from ...ops.low_papr import base_sequence
+        assert cfg.nof_layers == 1
+        seq = jnp.asarray(base_sequence(cfg.dmrs_scrambling_id % 30, 0,
+                                        6 * cfg.rb_count))
+        expected = jnp.broadcast_to(
+            seq, (1, len(cfg.dmrs_symbols), 6 * cfg.rb_count)).astype(jnp.complex64)
+    else:
+        expected = jnp.stack([pilots_for_port(dmrs_cfg, p, dmrs_cinits)
+                              for p in range(cfg.nof_layers)])      # [L, S, K]
     # symbol start times for CFO estimation
     lens = cp_lengths(CyclicPrefix.NORMAL, cfg.numerology, 2048)
     scs = 15_000 << cfg.numerology
@@ -154,6 +164,15 @@ def process(grid: jnp.ndarray, cfg: PuschConfig,
 
     x, out_nv = equalize(y, h, jnp.broadcast_to(nv, y.shape[:1]),
                          cfg.nof_layers, cfg.equalizer)
+    if cfg.transform_precoding:
+        # Inverse DFT-s-OFDM: IDFT each data symbol's M_sc block
+        # (pusch_demodulator_impl's inv transform precode step).
+        from ...ops.transform_precode import deprecode
+        m_sc = cfg.rb_count * 12
+        blocks = x[:, 0].reshape(-1, m_sc)
+        x = deprecode(blocks).reshape(-1, 1)
+        out_nv = jnp.mean(out_nv.reshape(-1, m_sc), axis=-1,
+                          keepdims=True).repeat(m_sc, axis=-1).reshape(-1, 1)
     # layer demap: [RE, L] -> codeword order d(i): i-th symbol = (re, layer)
     syms = x.reshape(-1)                                 # RE-major, layer-minor
     nvs = out_nv.reshape(-1)
