@@ -1,0 +1,107 @@
+"""FAPI message validators (analogue of lib/fapi/validators/).
+
+The reference validates every slot message field range before it reaches
+the PHY (dl_tti_request validators etc.); here each PDU config is checked
+against the cell geometry and 3GPP ranges, raising ValidationError with the
+offending field — the conductor calls these before compiling a plan.
+"""
+
+from __future__ import annotations
+
+from ..phy.slot_programs import CellConfig
+from ..ran.ldpc_params import segment_tb, select_base_graph
+from .messages import DlTtiRequest, TxDataRequest, UlTtiRequest
+
+
+class ValidationError(ValueError):
+    pass
+
+
+def _check(cond, msg):
+    if not cond:
+        raise ValidationError(msg)
+
+
+def _check_alloc(name, cell: CellConfig, rb_start, rb_count, first_symbol,
+                 nof_symbols):
+    _check(0 <= rb_start and rb_start + rb_count <= cell.nof_rb,
+           f"{name}: PRB range [{rb_start}, {rb_start + rb_count}) exceeds "
+           f"carrier {cell.nof_rb} RB")
+    _check(rb_count > 0, f"{name}: empty PRB allocation")
+    _check(0 <= first_symbol and first_symbol + nof_symbols <= 14,
+           f"{name}: symbol range [{first_symbol}, "
+           f"{first_symbol + nof_symbols}) exceeds the slot")
+
+
+def validate_dl_tti(dl: DlTtiRequest, cell: CellConfig):
+    for s in dl.ssb:
+        _check(0 <= s.phys_cell_id < 1008, "ssb: phys_cell_id out of range")
+        _check(s.l_max in (4, 8, 64), "ssb: L_max must be 4, 8 or 64")
+        _check(s.first_subcarrier + 240 <= cell.nof_sc,
+               "ssb: 240-subcarrier block exceeds the carrier")
+        _check(s.first_symbol + 4 <= 14, "ssb: block exceeds the slot")
+    for p in dl.pdcch:
+        _check(p.aggregation_level in (1, 2, 4, 8, 16),
+               "pdcch: invalid aggregation level")
+        cs = p.coreset
+        _check(cs.nof_rb % 6 == 0, "pdcch: CORESET size must be 6-RB aligned")
+        _check_alloc("pdcch", cell, cs.rb_start, cs.nof_rb, cs.start_symbol,
+                     cs.duration)
+        needed = (p.cce_index + p.aggregation_level) * 6
+        _check(needed <= cs.nof_rb // 6 * 6 * cs.duration // 1,
+               "pdcch: candidate exceeds the CORESET")
+        _check(0 < p.payload_bits <= 140, "pdcch: DCI payload size")
+    for p in dl.pdsch:
+        _check_alloc("pdsch", cell, p.rb_start, p.rb_count, p.first_symbol,
+                     p.nof_symbols)
+        _check(1 <= p.nof_layers <= 4, "pdsch: 1..4 layers")
+        _check(p.modulation in ("qpsk", "qam16", "qam64", "qam256"),
+               "pdsch: modulation")
+        _check(p.rv in (0, 1, 2, 3), "pdsch: rv")
+        _check(all(p.first_symbol <= d < p.first_symbol + p.nof_symbols
+                   for d in p.dmrs_symbols),
+               "pdsch: DM-RS symbol outside the allocation")
+        # capacity check: the rate-matched TB must fit
+        from ..phy.upper.pdsch import nof_data_re
+        from ..ops.modulation import BITS_PER_SYMBOL
+        g = nof_data_re(p) * BITS_PER_SYMBOL[p.modulation] * p.nof_layers
+        _check(p.tbs + 24 <= g,
+               f"pdsch: TBS {p.tbs} exceeds capacity {g} bits")
+    for c in dl.csi_rs:
+        _check(c.row in (1, 2, 3, 4), "csi_rs: unsupported row")
+        _check(c.rb_start + c.rb_count <= cell.nof_rb, "csi_rs: PRB range")
+
+
+def validate_tx_data(tx: TxDataRequest, dl: DlTtiRequest):
+    _check(len(tx.pdsch_payloads) == len(dl.pdsch),
+           "tx_data: payload count != pdsch PDU count")
+    for pl, cfg in zip(tx.pdsch_payloads, dl.pdsch):
+        _check(len(pl) == cfg.tbs,
+               f"tx_data: payload {len(pl)} bits != TBS {cfg.tbs}")
+    _check(len(tx.pdcch_payloads) == len(dl.pdcch),
+           "tx_data: DCI payload count != pdcch PDU count")
+    _check(len(tx.ssb_mib) == len(dl.ssb), "tx_data: MIB count != ssb count")
+
+
+def validate_ul_tti(ul: UlTtiRequest, cell: CellConfig):
+    for p in ul.pusch:
+        _check_alloc("pusch", cell, p.rb_start, p.rb_count, p.first_symbol,
+                     p.nof_symbols)
+        _check(1 <= p.nof_layers <= 2, "pusch: 1..2 layers (ZF cap)")
+        _check(not (p.equalizer == "mmse" and p.nof_layers > 1),
+               "pusch: MMSE supports a single layer")
+        _check(not (p.transform_precoding and p.nof_layers > 1),
+               "pusch: transform precoding is single-layer")
+    _check(not ul.pusch_harq or len(ul.pusch_harq) == len(ul.pusch),
+           "ul_tti: pusch_harq length mismatch")
+    for f in ul.pucch_f0:
+        _check(f.prb < cell.nof_rb, "pucch_f0: PRB")
+        _check(f.nof_symbols in (1, 2), "pucch_f0: 1-2 symbols")
+        _check(0 <= f.initial_cyclic_shift < 12, "pucch_f0: cyclic shift")
+    for f in ul.pucch_f1:
+        _check(f.prb < cell.nof_rb, "pucch_f1: PRB")
+        _check(4 <= f.nof_symbols <= 14, "pucch_f1: 4-14 symbols")
+    for f in ul.pucch_f2:
+        _check(f.rb_start + f.nof_rb <= cell.nof_rb, "pucch_f2: PRB range")
+        _check(f.nof_symbols in (1, 2), "pucch_f2: 1-2 symbols")
+        _check(f.nof_uci_bits >= 1, "pucch_f2: empty UCI")

@@ -161,7 +161,7 @@ def detect_format1(grid: jnp.ndarray, cfg: PucchF1Config,
     occ_data = _occ(cfg.time_domain_occ, n_data)
 
     dm_acc = jnp.zeros((grid.shape[0], 12), dtype=jnp.complex64)
-    da_acc = jnp.zeros((grid.shape[0], 12), dtype=jnp.complex64)
+    data_syms = []
     di = mi = 0
     for s in range(cfg.nof_symbols):
         l = cfg.start_symbol + s
@@ -173,16 +173,23 @@ def detect_format1(grid: jnp.ndarray, cfg: PucchF1Config,
             dm_acc = dm_acc + rx * np.conj(occ_dmrs[mi])
             mi += 1
         else:
-            da_acc = da_acc + rx * np.conj(occ_data[di])
+            data_syms.append(rx * np.conj(occ_data[di]))
             di += 1
-    h = dm_acc / n_dmrs                                         # [P, 12]
-    z = jnp.sum(da_acc / n_data * jnp.conj(h))                  # scalar
+    # Per-port wideband average over the PRB: a different-cyclic-shift user
+    # appears as a phase ramp across subcarriers after despreading, which
+    # the flat (1-PRB) average rejects — the reference's per-hop channel
+    # averaging does the same.
+    h = jnp.mean(dm_acc / n_dmrs, axis=-1, keepdims=True) * jnp.ones((1, 12))
+    h = h.astype(jnp.complex64)
     h_energy = jnp.sum(jnp.abs(h) ** 2)
-    d_hat = z / jnp.maximum(h_energy, 1e-12)
-    # noise: residual of data symbols after removing the decided symbol
-    power = jnp.abs(d_hat) ** 2 * h_energy
-    metric = power / jnp.maximum(
-        jnp.sum(jnp.abs(da_acc / n_data - d_hat * h) ** 2), 1e-9)
+    # Per-data-symbol matched filter: other multiplexed users (different
+    # cyclic shift or OCC) cancel inside each subcarrier/OCC sum, so the
+    # z_s statistics see only this user's symbol + noise.
+    z_s = jnp.stack([jnp.sum(jnp.conj(h) * y) for y in data_syms])  # [n_data]
+    z_mean = jnp.mean(z_s)
+    d_hat = z_mean / jnp.maximum(h_energy, 1e-12)
+    var = jnp.mean(jnp.abs(z_s - z_mean) ** 2)
+    metric = n_data * jnp.abs(z_mean) ** 2 / jnp.maximum(var, 1e-9)
     if cfg.nof_harq_bits == 1:
         bits = jnp.asarray([jnp.real(d_hat) < 0], dtype=jnp.int8)
     else:
@@ -190,6 +197,24 @@ def detect_format1(grid: jnp.ndarray, cfg: PucchF1Config,
                            dtype=jnp.int8)
     return {"detected": metric > threshold, "metric": metric,
             "harq_bits": bits, "symbol": d_hat}
+
+
+def detect_format1_batch(grid: jnp.ndarray, common: PucchF1Config,
+                         users: tuple, threshold: float = 1.5, ncs=None):
+    """Batch-detect all users multiplexed on one PRB (mirror of the
+    reference's pucch_processor.h:196-217 batch API with format1_map).
+
+    users: tuple of (initial_cyclic_shift, time_domain_occ, nof_harq_bits).
+    The despread per (ics, occ) shares the per-symbol base sequence across
+    all users, so the whole PRB's user set costs barely more than one.
+    Returns a list of per-user result dicts in the order given.
+    """
+    results = []
+    for ics, occ, nbits in users:
+        cfg = dataclasses.replace(common, initial_cyclic_shift=ics,
+                                  time_domain_occ=occ, nof_harq_bits=nbits)
+        results.append(detect_format1(grid, cfg, threshold, ncs))
+    return results
 
 
 # ----------------------------------------------------------------- Format 2
