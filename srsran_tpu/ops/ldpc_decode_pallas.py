@@ -1,0 +1,140 @@
+"""Pallas TPU kernel: batched layered min-sum LDPC decoder.
+
+Hand-scheduled alternative to ops/ldpc_decode.py (same algorithm — layered
+normalized min-sum, reference ldpc_decoder_impl.h semantics) that keeps the
+whole decoder state resident in VMEM across all iterations:
+
+- LLRs          [Bt, NV, Z]  f32   (~0.8 MB at Z=384)
+- per-row compressed check messages (min1, min2, argmin, packed signs)
+  [Bt, R, Z] x 4 arrays (~2.3 MB) — the 19-edge c2v tensor is never
+  materialized; each edge message is reconstructed as
+  alpha * sgn_prod * sgn_e * (e == argmin ? min2 : min1).
+
+Circulant lifts are static per-edge `pltpu.roll`s along the Z axis.  The
+grid tiles the codeblock batch; one kernel invocation runs all iterations,
+so HBM traffic is one read + one write of the LLRs total.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ldpc_graph import get_graph
+from .ldpc_decode import DEFAULT_MAX_ITER, DEFAULT_SCALING
+
+
+def _make_kernel(bg: int, z: int, nrows: int, max_iter: int, scaling: float,
+                 batch_tile: int):
+    g = get_graph(bg, z)
+    rows = g.rows[:nrows]
+    nv = g.nof_cols
+
+    def kernel(llr_in, llr_out, m1_ref, m2_ref, am_ref, sg_ref):
+        llr_out[...] = llr_in[...]
+        m1_ref[...] = jnp.zeros_like(m1_ref)
+        m2_ref[...] = jnp.zeros_like(m2_ref)
+        am_ref[...] = jnp.zeros_like(am_ref)
+        sg_ref[...] = jnp.zeros_like(sg_ref)
+
+        def sweep(_, carry):
+            for r, row in enumerate(rows):
+                d = len(row)
+                word = sg_ref[:, r]                       # [Bt, Z] int32
+                par = jax.lax.population_count(word) & 1
+                row_sign = (1 - 2 * par).astype(jnp.float32)
+                m1 = m1_ref[:, r]
+                m2 = m2_ref[:, r]
+                am = am_ref[:, r]
+
+                ts = []
+                new_m1 = None
+                new_m2 = None
+                new_am = None
+                new_word = jnp.zeros_like(word)
+                for e, (col, shift) in enumerate(row):
+                    v = llr_out[:, col]
+                    if shift:
+                        v = pltpu.roll(v, z - shift, axis=1)
+                    sgn_e = (1 - 2 * ((word >> e) & 1)).astype(jnp.float32)
+                    mag = jnp.where(am == e, m2, m1)
+                    c2v = scaling * row_sign * sgn_e * mag
+                    t = v - c2v
+                    ts.append(t)
+                    neg = (t < 0)
+                    new_word = new_word | (neg.astype(jnp.int32) << e)
+                    a = jnp.abs(t)
+                    if new_m1 is None:
+                        new_m1, new_m2 = a, jnp.full_like(a, 1e30)
+                        new_am = jnp.zeros_like(am)
+                    else:
+                        is_min = a < new_m1
+                        new_m2 = jnp.where(is_min, new_m1,
+                                           jnp.minimum(new_m2, a))
+                        new_am = jnp.where(is_min, e, new_am)
+                        new_m1 = jnp.minimum(new_m1, a)
+
+                new_par = jax.lax.population_count(new_word) & 1
+                new_sign = (1 - 2 * new_par).astype(jnp.float32)
+                for e, (col, shift) in enumerate(row):
+                    sgn_e = (1 - 2 * ((new_word >> e) & 1)).astype(jnp.float32)
+                    mag = jnp.where(new_am == e, new_m2, new_m1)
+                    c2v = scaling * new_sign * sgn_e * mag
+                    upd = ts[e] + c2v
+                    if shift:
+                        upd = pltpu.roll(upd, shift, axis=1)  # inverse roll
+                    llr_out[:, col] = upd
+                m1_ref[:, r] = new_m1
+                m2_ref[:, r] = new_m2
+                am_ref[:, r] = new_am
+                sg_ref[:, r] = new_word
+            return carry
+
+        jax.lax.fori_loop(0, max_iter, sweep, 0)
+
+    return kernel, nv
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def decode(llrs: jnp.ndarray, bg: int, z: int, nof_layers: int = 0,
+           max_iter: int = DEFAULT_MAX_ITER, scaling: float = DEFAULT_SCALING,
+           batch_tile: int = 8, interpret: bool = False):
+    """Pallas layered min-sum decode.  llrs f32 [B, NV*Z] -> (bits, soft).
+
+    The batch is padded to a multiple of ``batch_tile``; each grid step
+    decodes one tile with all state in VMEM.
+    """
+    g = get_graph(bg, z)
+    nrows = nof_layers if nof_layers > 0 else g.nof_rows
+    b = llrs.shape[0]
+    bt = min(batch_tile, max(1, b))
+    pad = (-b) % bt
+    x = jnp.pad(llrs.astype(jnp.float32), ((0, pad), (0, 0)))
+    xb = x.reshape(-1, g.nof_cols, z)
+    kernel, nv = _make_kernel(bg, z, nrows, max_iter, scaling, bt)
+    grid = xb.shape[0] // bt
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((bt, nv, z), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bt, nv, z), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xb.shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bt, nrows, z), jnp.float32),
+            pltpu.VMEM((bt, nrows, z), jnp.float32),
+            pltpu.VMEM((bt, nrows, z), jnp.int32),
+            pltpu.VMEM((bt, nrows, z), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xb)
+    soft = out.reshape(-1, g.nof_cols * z)[:b]
+    bits = (soft < 0).astype(jnp.int8)
+    return bits, soft
