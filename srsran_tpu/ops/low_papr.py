@@ -57,8 +57,21 @@ def sequence(u: int, v: int, alpha: float, m_sc: int) -> jnp.ndarray:
 
 def group_hopping(n_id: int, group_hopping_enabled: bool = False,
                   sequence_hopping_enabled: bool = False,
-                  slot: int = 0, symbol: int = 0) -> tuple:
-    """(u, v) per TS38.211 §6.3.2.2.1 (PUCCH) — no-hopping fast path."""
-    if not group_hopping_enabled and not sequence_hopping_enabled:
-        return n_id % 30, 0
-    raise NotImplementedError("group/sequence hopping")
+                  slot: int = 0, symbol: int = 0, m_sc: int = 12) -> tuple:
+    """(u, v) per TS38.211 §6.3.2.2.1 (PUCCH) / §6.4.1.1.1.2 (PUSCH DM-RS).
+
+    Group hopping: f_gh = sum_m 2^m c(8(14 ns + l) + m) mod 30 with the Gold
+    sequence seeded by floor(n_id / 30); sequence hopping picks v from one
+    bit of the same sequence (only for M_sc >= 6 PRB).
+    """
+    f_gh, v = 0, 0
+    if group_hopping_enabled:
+        from .gold import gold_sequence_np
+        seq = gold_sequence_np(n_id // 30, 8, advance=8 * (14 * slot + symbol))
+        f_gh = int(sum(int(b) << m for m, b in enumerate(seq))) % 30
+    elif sequence_hopping_enabled and m_sc >= 6 * 12:
+        from .gold import gold_sequence_np
+        seq = gold_sequence_np(n_id // 30, 1,
+                               advance=(14 * slot + symbol))
+        v = int(seq[0])
+    return (f_gh + n_id) % 30, v

@@ -27,6 +27,27 @@ TYPE1_PORT_CONFIG = {
     3: (1, (+1, -1), (+1, +1)),
 }
 
+# Type-2 (TS38.211 Table 7.4.1.1.2-2): 3 CDM groups of adjacent RE pairs,
+# group lambda occupies subcarriers {2λ, 2λ+1, 2λ+6, 2λ+7} per PRB;
+# ports 0..5 -> (group, w_f over the pair).
+TYPE2_PORT_CONFIG = {
+    0: (0, (+1, +1), (+1, +1)),
+    1: (0, (+1, -1), (+1, +1)),
+    2: (1, (+1, +1), (+1, +1)),
+    3: (1, (+1, -1), (+1, +1)),
+    4: (2, (+1, +1), (+1, +1)),
+    5: (2, (+1, -1), (+1, +1)),
+}
+
+
+def type2_sc_indices(rb_start: int, rb_count: int, group: int) -> "np.ndarray":
+    """Subcarrier indices of a type-2 CDM group (4 pilots/PRB)."""
+    base = []
+    for rb in range(rb_start, rb_start + rb_count):
+        k0 = rb * 12 + 2 * group
+        base += [k0, k0 + 1, k0 + 6, k0 + 7]
+    return np.array(base, dtype=np.int32)
+
 
 @dataclasses.dataclass(frozen=True)
 class DmrsConfig:
@@ -38,6 +59,7 @@ class DmrsConfig:
     ports: tuple              # DM-RS port indices (0..3, type 1)
     scrambling_id: int        # N_ID^{0/1}
     n_scid: int = 0
+    config_type: int = 1      # DM-RS configuration type 1 or 2
     numerology: int = 0
     slot_in_frame: int = 0    # n_slot for c_init
     amplitude: float = 1.0    # beta_dmrs
@@ -70,8 +92,9 @@ def sequence(cfg: DmrsConfig, symbol: int, c_init=None) -> jnp.ndarray:
     it is derived statically from the config.  The Gold sequence is advanced
     so that PRB ``rb_start`` is consistent with a carrier starting at CRB0.
     """
-    npilot = 6 * cfg.rb_count
-    adv = 2 * 6 * cfg.rb_start
+    per_rb = 6 if cfg.config_type == 1 else 4
+    npilot = per_rb * cfg.rb_count
+    adv = 2 * per_rb * cfg.rb_start
     if c_init is None:
         c_init = _c_init(cfg, symbol)
     bits = gold_sequence(c_init, 2 * npilot, advance=adv)
@@ -90,7 +113,8 @@ def pilots_for_port(cfg: DmrsConfig, port: int, c_inits=None) -> jnp.ndarray:
 
     c_inits: optional traced uint32 [nof_dmrs_symbols] (see c_inits_for).
     """
-    delta, wf, wt = TYPE1_PORT_CONFIG[port]
+    cfgmap = TYPE1_PORT_CONFIG if cfg.config_type == 1 else TYPE2_PORT_CONFIG
+    delta, wf, wt = cfgmap[port]
     rows = []
     for i, l in enumerate(cfg.symbols):
         seq = sequence(cfg, l, None if c_inits is None else c_inits[i])
@@ -108,8 +132,12 @@ def map_to_grid(grid: jnp.ndarray, cfg: DmrsConfig,
     precoded like data, as the reference's mapper does while writing.
     """
     for li, dmrs_port in enumerate(cfg.ports):
-        delta = TYPE1_PORT_CONFIG[dmrs_port][0]
-        sc = jnp.asarray(_type1_sc_indices(cfg.rb_start, cfg.rb_count, delta))
+        if cfg.config_type == 1:
+            delta = TYPE1_PORT_CONFIG[dmrs_port][0]
+            sc = jnp.asarray(_type1_sc_indices(cfg.rb_start, cfg.rb_count, delta))
+        else:
+            group = TYPE2_PORT_CONFIG[dmrs_port][0]
+            sc = jnp.asarray(type2_sc_indices(cfg.rb_start, cfg.rb_count, group))
         pilots = pilots_for_port(cfg, dmrs_port, c_inits)      # [S, K]
         if precoding is None:
             for si, l in enumerate(cfg.symbols):

@@ -36,6 +36,13 @@ class CoresetConfig:
     nof_rb: int                # multiple of 6
     start_symbol: int
     duration: int              # 1..3 symbols
+    # CCE-to-REG mapping (TS38.211 §7.3.2.2): non-interleaved uses bundle 6;
+    # interleaved uses bundle size L in {2, 6} (or {3, 6} for duration 3),
+    # interleaver depth R in {2, 3, 6} and shift n_shift.
+    interleaved: bool = False
+    reg_bundle_size: int = 6
+    interleaver_size: int = 2
+    shift_index: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,14 +102,38 @@ def decode_dci(llrs: jnp.ndarray, cfg: PdcchConfig):
 
 
 @functools.lru_cache(maxsize=None)
+def _bundle_map(coreset: CoresetConfig) -> np.ndarray:
+    """f(j): logical REG-bundle index -> physical bundle (TS38.211 §7.3.2.2)."""
+    nof_reg = coreset.nof_rb * coreset.duration
+    l = coreset.reg_bundle_size if coreset.interleaved else 6
+    nof_bundles = nof_reg // l
+    if not coreset.interleaved:
+        return np.arange(nof_bundles, dtype=np.int64)
+    r_depth = coreset.interleaver_size
+    c_cols = nof_bundles // r_depth
+    assert c_cols * r_depth == nof_bundles, \
+        "CORESET size incompatible with interleaver depth"
+    f = np.empty(nof_bundles, dtype=np.int64)
+    for x in range(nof_bundles):
+        c, r = divmod(x, r_depth)
+        f[x] = (r * c_cols + c + coreset.shift_index) % nof_bundles
+    return f
+
+
+@functools.lru_cache(maxsize=None)
 def _candidate_re_plan(coreset: CoresetConfig, cce_index: int,
                        aggregation_level: int):
     """(data_positions [Nd, 2], dmrs_positions [Np, 2], dmrs_prb [Np]) as
     (symbol, subcarrier); REG numbering is time-first (TS38.211 §7.3.2.2)."""
+    l = coreset.reg_bundle_size if coreset.interleaved else 6
+    fmap = _bundle_map(coreset)
     regs = []
+    bundles_per_cce = 6 // l
     for cce in range(cce_index, cce_index + aggregation_level):
-        for r in range(NOF_REG_PER_CCE):
-            regs.append(cce * NOF_REG_PER_CCE + r)
+        for b in range(bundles_per_cce):
+            phys = fmap[cce * bundles_per_cce + b]
+            for r in range(l):
+                regs.append(int(phys) * l + r)
     data, dmrs, dmrs_prb = [], [], []
     for reg in sorted(regs):
         rb = reg // coreset.duration

@@ -1,0 +1,61 @@
+"""PDCCH interleaved mapping, DM-RS type 2, group hopping."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from srsran_tpu.phy.upper import pdcch
+from srsran_tpu.phy.upper.dmrs import DmrsConfig, map_to_grid, type2_sc_indices
+from srsran_tpu.ops.low_papr import group_hopping
+
+
+def test_interleaved_bundle_map_is_permutation():
+    cs = pdcch.CoresetConfig(rb_start=0, nof_rb=48, start_symbol=0,
+                             duration=1, interleaved=True, reg_bundle_size=6,
+                             interleaver_size=2, shift_index=5)
+    f = pdcch._bundle_map(cs)
+    assert sorted(f.tolist()) == list(range(len(f)))
+    # different from identity
+    assert not np.array_equal(f, np.arange(len(f)))
+
+
+def test_interleaved_pdcch_loopback():
+    cs = pdcch.CoresetConfig(rb_start=0, nof_rb=36, start_symbol=0,
+                             duration=2, interleaved=True, reg_bundle_size=6,
+                             interleaver_size=3, shift_index=7)
+    cfg = pdcch.PdcchConfig(coreset=cs, rnti=0x99, aggregation_level=4,
+                            cce_index=2, payload_bits=36, n_id=7, n_id_data=7)
+    rng = np.random.default_rng(0)
+    payload = jnp.asarray(rng.integers(0, 2, 36).astype(np.int8))
+    grid = jnp.zeros((1, 14, 40 * 12), dtype=jnp.complex64)
+    grid = pdcch.process(grid, payload, cfg)
+    # add noise and recover
+    g = np.asarray(grid) + 0.02 * (
+        rng.normal(size=grid.shape) + 1j * rng.normal(size=grid.shape))
+    dec, ok = pdcch.recover(jnp.asarray(g.astype(np.complex64)), cfg,
+                            noise_var=0.0008)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(payload))
+
+
+def test_dmrs_type2_layout():
+    cfg = DmrsConfig(rb_start=0, rb_count=2, symbols=(2,), ports=(0, 2, 4),
+                     scrambling_id=1, config_type=2)
+    g = np.asarray(map_to_grid(jnp.zeros((3, 14, 24), dtype=jnp.complex64), cfg))
+    # port 0 -> group 0 subcarriers {0,1,6,7}+12k; port 2 -> group 1 {2,3,8,9}
+    nz0 = set(np.nonzero(g[0, 2])[0].tolist())
+    assert nz0 == {0, 1, 6, 7, 12, 13, 18, 19}
+    nz1 = set(np.nonzero(g[1, 2])[0].tolist())
+    assert nz1 == {2, 3, 8, 9, 14, 15, 20, 21}
+    nz2 = set(np.nonzero(g[2, 2])[0].tolist())
+    assert nz2 == {4, 5, 10, 11, 16, 17, 22, 23}
+
+
+def test_group_hopping_values():
+    u0, v0 = group_hopping(301)                      # no hopping
+    assert u0 == 301 % 30 and v0 == 0
+    u1, v1 = group_hopping(301, group_hopping_enabled=True, slot=3, symbol=5)
+    assert 0 <= u1 < 30 and v1 == 0
+    u2, _ = group_hopping(301, group_hopping_enabled=True, slot=3, symbol=6)
+    # hopping should change the group between symbols (overwhelmingly likely)
+    assert (u1, u2) != (u0, u0)
