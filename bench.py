@@ -84,12 +84,14 @@ def main():
     ul_compile_s = time.time() - t0
 
     # ---- timed loop ------------------------------------------------------
+    # Keep every slot's outputs and block on all of them: blocking only on
+    # the last output under-measures on remote-execution backends.
     t0 = time.time()
-    outs = None
+    keep = []
     for i in range(nof_slots):
         samples, _ = dl(*dl_payloads[i % n_payload_variants])
-        outs = ul(samples, (), softs)
-    jax.block_until_ready((samples, outs))
+        keep.append((samples, ul(samples, (), softs)))
+    jax.block_until_ready(keep)
     elapsed = time.time() - t0
 
     us_per_slot = elapsed / nof_slots * 1e6

@@ -69,6 +69,20 @@ def preambles_per_root(ncs: int, l_ra: int) -> int:
     return l_ra // ncs if ncs else 1
 
 
+@functools.lru_cache(maxsize=None)
+def _config_tables():
+    import json
+    return json.loads((_DATA.parent / "prach_config_tables.json").read_text())
+
+
+def prach_configuration(index: int, duplex: str = "fr1_unpaired"):
+    """TS38.211 Table 6.3.3.2-2/-3: PRACH occasion schedule for a config
+    index.  Returns dict (format, x, y, subframes, starting_symbol, ...) or
+    None for reserved entries — the analogue of
+    lib/ran/prach/prach_configuration.cpp."""
+    return _config_tables()[duplex][index]
+
+
 def zc_sequence(u: int, l_ra: int, cyclic_shift: int = 0) -> np.ndarray:
     """Zadoff-Chu x_{u,v}(n) = exp(-j pi u n(n+1) / L), cyclically shifted."""
     n = (np.arange(l_ra) + cyclic_shift) % l_ra

@@ -109,9 +109,50 @@ def extract_low_papr():
     print("low papr ok")
 
 
+def extract_prach_config():
+    # TS38.211 Tables 6.3.3.2-2/-3 (FR1 paired / unpaired): prach config
+    # index -> (format, x, y-list, subframe-list, start_sym, nof_slots_sf,
+    # nof_occasions, duration).
+    import json
+    text = Path("/root/reference/lib/ran/prach/prach_configuration.cpp").read_text()
+    out = {}
+    for name, marker in (("fr1_paired", "prach_configuration_get_fr1_paired"),
+                         ("fr1_unpaired", "prach_configuration_get_fr1_unpaired")):
+        start = text.index(marker)
+        start = text.index("table = {", start)
+        end = text.index("}};", start)
+        block = text[start + len("table = {"):end]
+        row_re = re.compile(
+            r"\{prach_format_type::(\w+),\s*(\d+),\s*\{([\d,\s]*)\},"
+            r"\s*\{([\d,\s]*)\},\s*(\d+),\s*(\d+),\s*(\d+),\s*(\d+)\}"
+            r"|\{PRACH_CONFIG_RESERVED\}")
+        parsed = []
+        fmt_map = {"zero": "0", "one": "1", "two": "2", "three": "3"}
+        for m in row_re.finditer(block):
+            if m.group(1) is None:
+                parsed.append(None)
+                continue
+            fmt = fmt_map.get(m.group(1), m.group(1))
+            parsed.append({
+                "format": fmt,
+                "x": int(m.group(2)),
+                "y": [int(v) for v in m.group(3).split(",") if v.strip()],
+                "subframes": [int(v) for v in m.group(4).split(",") if v.strip()],
+                "starting_symbol": int(m.group(5)),
+                "nof_prach_slots_within_subframe": int(m.group(6)),
+                "nof_occasions_within_slot": int(m.group(7)),
+                "duration": int(m.group(8)),
+            })
+        assert len(parsed) == 256, (name, len(parsed))
+        out[name] = parsed
+    (OUT / "prach_config_tables.json").write_text(json.dumps(out))
+    print("prach config ok", {k: len(v) for k, v in out.items()})
+
+
 if __name__ == "__main__":
     extract_ldpc()
     extract_polar()
     extract_short_block()
     extract_prach()
     extract_low_papr()
+    extract_prach_config()
