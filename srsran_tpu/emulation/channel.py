@@ -63,8 +63,13 @@ def _amplitudes(profile: str) -> np.ndarray:
     return np.sqrt(p / p.sum()).astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
 def run(key: jax.Array, tx_grid: jnp.ndarray, cfg: ChannelConfig):
-    """Apply the channel.  tx_grid [T, S, K] -> (rx_grid [R, S, K], H [R,T,K])."""
+    """Apply the channel.  tx_grid [T, S, K] -> (rx_grid [R, S, K], H [R,T,K]).
+
+    Jitted (cfg static): some eager ops are unimplemented on the axon TPU
+    backend, and jit also fuses the whole emulator into the slot pipeline.
+    """
     kg, kp, kn = jax.random.split(key, 3)
     taps = len(PROFILES[cfg.profile])
     amp = jnp.asarray(_amplitudes(cfg.profile))

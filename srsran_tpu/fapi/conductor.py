@@ -96,9 +96,10 @@ class SlotConductor:
     """One cell's PHY driver.  Thread-free: slot pipelining comes from JAX's
     async dispatch (launch slot N+1 while N still runs on device)."""
 
-    def __init__(self, cell: CellConfig):
+    def __init__(self, cell: CellConfig, validate: bool = True):
         self.cell = cell
         self.harq_pool = HarqBufferPool()
+        self.validate = validate
 
     # ---------------------------------------------------------------- DL
 
@@ -109,6 +110,10 @@ class SlotConductor:
         scrambling inits enter as traced inputs (so one compile serves all
         slots — the analogue of the reference's per-slot processor reuse).
         """
+        if self.validate:
+            from .validators import validate_dl_tti, validate_tx_data
+            validate_dl_tti(dl_tti, self.cell)
+            validate_tx_data(tx_data, dl_tti)
         slot_in_sf = dl_tti.slot.subframe_slot_index
         plan, ctx = normalize_dl_plan(dl_tti)
         fn = dl_slot_fn(self.cell, plan, slot_in_sf)
@@ -129,6 +134,9 @@ class SlotConductor:
 
     def process_ul(self, ul_tti: UlTtiRequest, samples,
                    prach_fd=()) -> SlotResults:
+        if self.validate:
+            from .validators import validate_ul_tti
+            validate_ul_tti(ul_tti, self.cell)
         slot_in_sf = ul_tti.slot.subframe_slot_index
         plan, ctx = normalize_ul_plan(ul_tti)
         fn = ul_slot_fn(self.cell, plan, slot_in_sf)

@@ -25,9 +25,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+import jax
+
+
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ChannelEstimate:
-    """Per-(rx_port, layer) results over one allocation."""
+    """Per-(rx_port, layer) results over one allocation (a JAX pytree)."""
 
     coeffs: jnp.ndarray      # complex64 [P, L, nsym, nsc] channel per RE
     noise_var: jnp.ndarray   # f32 [P]

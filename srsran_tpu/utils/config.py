@@ -114,8 +114,14 @@ def _deep_update(base: dict, upd: dict):
             base[k] = v
 
 
-def _set_dotted(d: dict, dotted: str, value):
+def _set_dotted(d, dotted: str, value):
     keys = dotted.split(".")
     for k in keys[:-1]:
-        d = d.setdefault(k, {})
-    d[keys[-1]] = value
+        if isinstance(d, list):
+            d = d[int(k)]
+        else:
+            d = d.setdefault(k, {})
+    if isinstance(d, list):
+        d[int(keys[-1])] = value
+    else:
+        d[keys[-1]] = value

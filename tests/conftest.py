@@ -22,9 +22,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent XLA compile cache: the suite compiles many large unrolled
 # LDPC/polar/slot programs; cold runs are compile-bound, warm runs fast.
+# Dedicated directory: sharing a cache with axon-hooked processes mixes
+# entries compiled with different machine features (SIGILL on load).
 _cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+                      ".jax_cache_tests")
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
