@@ -57,6 +57,29 @@ class PuschConfig:
     equalizer: str = "zf"      # 'zf' | 'mmse' (mmse only 1 layer)
     uci: UciOnPuschConfig = UciOnPuschConfig()
     transform_precoding: bool = False  # DFT-s-OFDM (single layer only)
+    # Intra-slot frequency hopping (TS38.214 §6.3): PRB start of the second
+    # hop; None disables.  Hop 1 covers the first floor(N/2) symbols.
+    second_hop_prb: int | None = None
+
+
+def hop_configs(cfg: PuschConfig):
+    """Split a hopping PUSCH into per-hop single-allocation configs."""
+    if cfg.second_hop_prb is None:
+        return (cfg,)
+    n1 = cfg.nof_symbols // 2
+    hop1_syms = tuple(s for s in cfg.dmrs_symbols
+                      if s < cfg.first_symbol + n1)
+    hop2_syms = tuple(s for s in cfg.dmrs_symbols
+                      if s >= cfg.first_symbol + n1)
+    assert hop1_syms and hop2_syms, \
+        "frequency hopping needs DM-RS in both hops"
+    h1 = dataclasses.replace(cfg, nof_symbols=n1, dmrs_symbols=hop1_syms,
+                             second_hop_prb=None)
+    h2 = dataclasses.replace(cfg, rb_start=cfg.second_hop_prb,
+                             first_symbol=cfg.first_symbol + n1,
+                             nof_symbols=cfg.nof_symbols - n1,
+                             dmrs_symbols=hop2_syms, second_hop_prb=None)
+    return (h1, h2)
 
 
 @dataclasses.dataclass
@@ -145,13 +168,11 @@ def estimate_channel(grid: jnp.ndarray, cfg: PuschConfig,
         dmrs_symbol_times_s=times[np.asarray(cfg.dmrs_symbols)])
 
 
-def process(grid: jnp.ndarray, cfg: PuschConfig,
-            soft_buffer: jnp.ndarray | None = None,
-            nof_iterations: int = 6,
-            dmrs_cinits=None) -> PuschResult:
-    """Full PUSCH receive.  grid: complex64 [P, nsym, nsc] rx resource grid."""
-    est = estimate_channel(grid, cfg, dmrs_cinits)
+def _frontend_hop(grid: jnp.ndarray, cfg: PuschConfig, dmrs_cinits=None):
+    """Single-hop front end: estimate -> gather -> equalize.
 
+    Returns (x [RE, L], out_nv [RE, L], est)."""
+    est = estimate_channel(grid, cfg, dmrs_cinits)
     plan = _data_re_plan(cfg.rb_start, cfg.rb_count, cfg.first_symbol,
                          cfg.nof_symbols, cfg.dmrs_symbols,
                          cfg.reserved_cdm_groups)
@@ -161,9 +182,37 @@ def process(grid: jnp.ndarray, cfg: PuschConfig,
     h = est.coeffs[:, :, sym_idx, sc_rel]                # [P, L, RE]
     h = jnp.transpose(h, (2, 0, 1))                      # [RE, P, L]
     nv = jnp.mean(est.noise_var)
-
     x, out_nv = equalize(y, h, jnp.broadcast_to(nv, y.shape[:1]),
                          cfg.nof_layers, cfg.equalizer)
+    return x, out_nv, est
+
+
+def process(grid: jnp.ndarray, cfg: PuschConfig,
+            soft_buffer: jnp.ndarray | None = None,
+            nof_iterations: int = 6,
+            dmrs_cinits=None) -> PuschResult:
+    """Full PUSCH receive.  grid: complex64 [P, nsym, nsc] rx resource grid.
+
+    Intra-slot frequency hopping runs the front end per hop (each hop has
+    its own DM-RS estimate and PRB range), concatenating equalized symbols
+    in codeword order."""
+    hops = hop_configs(cfg)
+    if len(hops) == 1:
+        x, out_nv, est = _frontend_hop(grid, cfg, dmrs_cinits)
+    else:
+        xs, nvs_h, ests = [], [], []
+        off = 0
+        for h_cfg in hops:
+            nsym = len(h_cfg.dmrs_symbols)
+            ci = None if dmrs_cinits is None else dmrs_cinits[off:off + nsym]
+            off += nsym
+            xh, nvh, eh = _frontend_hop(grid, h_cfg, ci)
+            xs.append(xh)
+            nvs_h.append(nvh)
+            ests.append(eh)
+        x = jnp.concatenate(xs, axis=0)
+        out_nv = jnp.concatenate(nvs_h, axis=0)
+        est = ests[0]  # report hop-1 CSI (reference reports merged stats)
     if cfg.transform_precoding:
         # Inverse DFT-s-OFDM: IDFT each data symbol's M_sc block
         # (pusch_demodulator_impl's inv transform precode step).
