@@ -109,15 +109,45 @@ class PrachDetection:
     rssi: jnp.ndarray           # f32 scalar
 
 
+@functools.lru_cache(maxsize=None)
+def _threshold_table() -> dict:
+    import json
+    from pathlib import Path
+    path = (Path(__file__).resolve().parent.parent.parent / "data"
+            / "prach_thresholds.json")
+    if path.exists():
+        return json.loads(path.read_text())
+    return {}
+
+
+def calibrated_threshold(cfg: PrachConfig, nof_ports: int,
+                         default: float = 2.0) -> float:
+    """Measured noise-floor threshold keyed (format, zcz, ports) — the
+    analogue of prach_detector_generic_thresholds.h, produced by
+    tools/calibrate_prach.py (0.1% false-alarm quantile + margin)."""
+    tab = _threshold_table()
+    key = f"{cfg.format}:{cfg.zero_correlation_zone}:{nof_ports}"
+    if key in tab:
+        return tab[key]
+    # fall back to the nearest port count for this (format, zcz)
+    for p in (4, 2, 1):
+        k = f"{cfg.format}:{cfg.zero_correlation_zone}:{p}"
+        if k in tab:
+            return tab[k]
+    return default
+
+
 def detect(rx_fd: jnp.ndarray, cfg: PrachConfig,
-           threshold: float = 2.0, idft_size: int = 1024) -> PrachDetection:
+           threshold: float | None = None,
+           idft_size: int = 1024) -> PrachDetection:
     """Detect preambles.
 
     rx_fd: complex64 [ports, symbols, L] frequency-domain preamble captures.
-    threshold: detection metric threshold (the reference uses a calibrated
-    LUT keyed by ports/format/zcz, prach_detector_generic_thresholds.h; a
-    fixed default is used here until calibration).
+    threshold: metric threshold; None uses the calibrated table
+    (data/prach_thresholds.json) keyed by (format, zcz, rx ports).
     """
+    if threshold is None:
+        threshold = calibrated_threshold(cfg, rx_fd.shape[0])
     roots, spr, ncs = _root_set(cfg)
     l_ra = cfg.l_ra
     rssi = jnp.mean(jnp.abs(rx_fd) ** 2)
