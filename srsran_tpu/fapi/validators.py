@@ -68,8 +68,13 @@ def validate_dl_tti(dl: DlTtiRequest, cell: CellConfig):
         _check(p.tbs + 24 <= g,
                f"pdsch: TBS {p.tbs} exceeds capacity {g} bits")
     for c in dl.csi_rs:
-        _check(c.row in (1, 2, 3, 4), "csi_rs: unsupported row")
+        _check(1 <= c.row <= 12, "csi_rs: unsupported row (reference caps at 12)")
         _check(c.rb_start + c.rb_count <= cell.nof_rb, "csi_rs: PRB range")
+        try:
+            c.resolved_k_ref()
+            c.resolved_density()
+        except ValueError as e:
+            _check(False, f"csi_rs: {e}")
 
 
 def validate_tx_data(tx: TxDataRequest, dl: DlTtiRequest):

@@ -117,6 +117,51 @@ def mux_codeword(cfg: DemuxConfig, data_bits: np.ndarray,
     return out.reshape(-1)
 
 
+def placeholder_bit_classes(cfg: DemuxConfig, o_ack: int = 0,
+                            o_csi1: int = 0) -> np.ndarray:
+    """int8 [total_codeword_bits] class map: 0 normal, 1 'x', 2 'y'.
+
+    TS38.212 §5.3.3.1/.2: 1- and 2-bit UCI encodings carry placeholder bits
+    within each modulation symbol — bit 1 is 'y' (repeats the scrambling of
+    bit 0) for 1-bit payloads, bits 2..Qm-1 are 'x' (not scrambled) for
+    both.  Applies to HARQ-ACK and CSI part 1 like the reference
+    (ulsch_demultiplex_impl.cpp:490-532).
+    """
+    f = field_positions(cfg)
+    bpre = cfg.qm * cfg.nof_layers
+    total = len(build_class_map(cfg)) * bpre
+    cls = np.zeros(total, np.int8)
+    if cfg.qm == 1:
+        return cls
+
+    def mark(pos_re: np.ndarray, o: int):
+        if o == 0 or o > 2 or len(pos_re) == 0:
+            return
+        bit_idx = (pos_re[:, None].astype(np.int64) * bpre
+                   + np.arange(bpre)).reshape(-1)
+        per_sym = bit_idx.reshape(-1, cfg.qm)
+        if o == 1:
+            cls[per_sym[:, 1]] = 2          # y
+        if cfg.qm > 2:
+            cls[per_sym[:, 2:]] = 1         # x
+
+    ack_pos = f["ack_punct"] if len(f["ack_punct"]) else f["ack"]
+    mark(ack_pos, o_ack)
+    mark(f["csi1"], o_csi1)
+    return cls
+
+
+def scramble_with_placeholders(bits: np.ndarray, seq: np.ndarray,
+                               cls: np.ndarray) -> np.ndarray:
+    """UE-side PUSCH scrambling honouring placeholders (TS38.211 §6.3.1.1):
+    'x' bits keep c=0, 'y' bits reuse the previous bit's scrambling bit."""
+    seq_mod = seq.astype(np.int8).copy()
+    seq_mod[cls == 1] = 0
+    y_idx = np.nonzero(cls == 2)[0]
+    seq_mod[y_idx] = seq[y_idx - 1]
+    return (bits.astype(np.int8) ^ seq_mod).astype(np.int8)
+
+
 def field_positions(cfg: DemuxConfig):
     """dict field -> int32 array of RE positions in mapping order.
 

@@ -1,10 +1,21 @@
 """NZP-CSI-RS generator (TS38.211 §7.4.1.5).
 
 TPU-native analogue of nzp_csi_rs_generator_impl
-(lib/phy/upper/signal_processors/nzp_csi_rs_*): QPSK Gold pilots mapped per
-the CSI-RS locations table.  Rows 1-4 of Table 7.4.1.5.3-1 are supported
-(1/2/4 ports, the configurations srsRAN gNB uses for TRS + CSI acquisition);
-fd-CDM2 covers applied per port.
+(lib/phy/upper/signal_processors/nzp_csi_rs_generator_impl.cpp) and the
+location table builder (lib/ran/csi_rs/csi_rs_pattern.cpp:34-436): QPSK Gold
+pilots mapped per TS38.211 Table 7.4.1.5.3-1 rows 1-12 (the reference's
+supported set, csi_rs_pattern.cpp:449), with fd-CDM2 / CDM4-FD2-TD2 covers
+(cdm tables at nzp_csi_rs_generator_impl.cpp:37-58), densities 3 / 1 / 0.5
+(even/odd RB), and a per-CSI-RS-port precoding matrix onto physical antenna
+ports (the reference maps CDM ports through precoding_configuration,
+nzp_csi_rs_generator_impl.cpp:250-287).
+
+Sequence indexing follows the reference exactly: per used OFDM symbol one
+Gold sequence with c_init = (2^10 (14 n_slot + l + 1)(2 n_id + 1) + n_id)
+mod 2^31 (nzp_csi_rs_generator_impl.cpp:123), advanced past PRBs below
+rb_start (get_nof_skipped_elements, :71-109), consuming 3 (row 1) / 1
+(row 2) / 2 (CDM rows) QPSK symbols per occupied PRB (get_seq_len,
+:141-173); all CDM groups of a row share the same sequence values.
 """
 
 from __future__ import annotations
@@ -18,94 +29,236 @@ import numpy as np
 from ...ops.gold import gold_sequence
 from ...ops.modulation import modulate
 
+# CDM cover tables (nzp_csi_rs_generator_impl.cpp:37-58): per cdm index,
+# (w_f over k'=0..1, w_t over l'=0..T-1).
+_CDM_TABLES = {
+    "no_CDM": ([[1.0]], [[1.0]]),
+    "fd_CDM2": ([[1.0, 1.0], [1.0, -1.0]], [[1.0], [1.0]]),
+    "cdm4_FD2_TD2": (
+        [[1.0, 1.0], [1.0, -1.0], [1.0, 1.0], [1.0, -1.0]],
+        [[1.0, 1.0], [1.0, 1.0], [1.0, -1.0], [1.0, -1.0]],
+    ),
+    "cdm8_FD2_TD4": (
+        [[1.0, 1.0], [1.0, -1.0]] * 4,
+        [[1.0, 1.0, 1.0, 1.0], [1.0, 1.0, 1.0, 1.0],
+         [1.0, -1.0, 1.0, -1.0], [1.0, -1.0, 1.0, -1.0],
+         [1.0, 1.0, -1.0, -1.0], [1.0, 1.0, -1.0, -1.0],
+         [1.0, -1.0, -1.0, 1.0], [1.0, -1.0, -1.0, 1.0]],
+    ),
+}
+
+# Row → (nof_ports, cdm type, nof k_ref, allowed densities).  Rows 1-12 per
+# csi_rs_pattern.cpp (mapping_row_1..12); default density first.
+_ROWS = {
+    1: (1, "no_CDM", 1, ("three",)),
+    2: (1, "no_CDM", 1, ("one", "dot5_even", "dot5_odd")),
+    3: (2, "fd_CDM2", 1, ("one", "dot5_even", "dot5_odd")),
+    4: (4, "fd_CDM2", 1, ("one",)),
+    5: (4, "fd_CDM2", 1, ("one",)),
+    6: (8, "fd_CDM2", 4, ("one",)),
+    7: (8, "fd_CDM2", 2, ("one",)),
+    8: (8, "cdm4_FD2_TD2", 2, ("one",)),
+    9: (12, "fd_CDM2", 6, ("one",)),
+    10: (12, "cdm4_FD2_TD2", 3, ("one",)),
+    11: (16, "fd_CDM2", 4, ("one", "dot5_even", "dot5_odd")),
+    12: (16, "cdm4_FD2_TD2", 4, ("one",)),
+}
+
+
+def nof_csi_rs_ports(row: int) -> int:
+    return _ROWS[row][0]
+
 
 @dataclasses.dataclass(frozen=True)
 class CsiRsConfig:
     """Static NZP-CSI-RS description (fapi dl_csi_rs_pdu essentials)."""
 
-    row: int                  # 1..4 (Table 7.4.1.5.3-1)
+    row: int                  # 1..12 (Table 7.4.1.5.3-1)
     rb_start: int
     rb_count: int
     symbol: int               # l0
-    k0: int                   # frequency-domain location within the RB
-    scrambling_id: int
+    k0: int = 0               # first freq-domain allocation reference
+    k_ref: tuple = ()         # all k references (defaults to (k0,))
+    scrambling_id: int = 0
+    density: str = ""         # "three"|"one"|"dot5_even"|"dot5_odd"; "" = row default
     slot_in_frame: int = 0
     amplitude: float = 1.0
 
+    def resolved_k_ref(self) -> tuple:
+        ks = tuple(self.k_ref) if self.k_ref else (self.k0,)
+        _, _, nkref, _ = _ROWS[self.row]
+        if len(ks) != nkref:
+            raise ValueError(f"CSI-RS row {self.row} needs {nkref} k_ref values")
+        return ks
 
-def _c_init(cfg: CsiRsConfig, l: int) -> int:
-    return ((1 << 10) * (14 * cfg.slot_in_frame + l + 1)
-            * (2 * cfg.scrambling_id + 1) + cfg.scrambling_id) % (1 << 31)
+    def resolved_density(self) -> str:
+        dens = _ROWS[self.row][3]
+        d = self.density or dens[0]
+        if d not in dens:
+            raise ValueError(f"CSI-RS row {self.row}: invalid density {d}")
+        return d
+
+
+@functools.lru_cache(maxsize=None)
+def _cdm_groups(row: int, k_ref: tuple, l0: int):
+    """[(k_bar, l_bar)] per CDM group + (cdm type, fd size, td size).
+
+    Mirrors mapping_row_1..12 (csi_rs_pattern.cpp:34-357); the per-port
+    expansion there collapses to one entry per CDM group here.
+    """
+    _, cdm, _, _ = _ROWS[row]
+    wf_tab, wt_tab = _CDM_TABLES[cdm]
+    fd, td = len(wf_tab[0]), len(wt_tab[0])
+    k = list(k_ref)
+    if row in (1, 2, 3):
+        groups = [(k[0], l0)]
+    elif row == 4:
+        groups = [(k[0], l0), (k[0] + 2, l0)]
+    elif row == 5:
+        groups = [(k[0], l0), (k[0], l0 + 1)]
+    elif row in (6, 8, 9, 10, 12):
+        groups = [(kr, l0) for kr in k]
+    elif row == 7:
+        groups = [(k[g % 2], l0 + g // 2) for g in range(4)]
+    elif row == 11:
+        groups = [(k[g % 4], l0 + g // 4) for g in range(8)]
+    else:
+        raise NotImplementedError(f"CSI-RS row {row} (reference supports 1-12)")
+    return tuple(groups), cdm, fd, td
+
+
+def _used_symbols(cfg: CsiRsConfig) -> list:
+    groups, _, _, td = _cdm_groups(cfg.row, cfg.resolved_k_ref(), cfg.symbol)
+    return sorted({lb + lp for _, lb in groups for lp in range(td)})
+
+
+def _used_rbs(cfg: CsiRsConfig) -> np.ndarray:
+    """Occupied PRB indices (build_re_patterns, csi_rs_pattern.cpp:368-388)."""
+    d = cfg.resolved_density()
+    rbs = np.arange(cfg.rb_start, cfg.rb_start + cfg.rb_count)
+    if d == "dot5_even":
+        return rbs[rbs % 2 == 0]
+    if d == "dot5_odd":
+        return rbs[rbs % 2 == 1]
+    return rbs
+
+
+def _seq_per_rb(cfg: CsiRsConfig) -> int:
+    """QPSK sequence symbols consumed per occupied PRB (get_seq_len)."""
+    if cfg.row == 1:
+        return 3
+    if cfg.row == 2:
+        return 1
+    return 2
+
+
+def _nof_advance(cfg: CsiRsConfig) -> int:
+    """Sequence symbols skipped before the first occupied PRB
+    (get_nof_skipped_elements, nzp_csi_rs_generator_impl.cpp:71-109)."""
+    d = cfg.resolved_density()
+    first_prb = cfg.rb_start
+    if d == "dot5_even":
+        first_prb += cfg.rb_start % 2
+    elif d == "dot5_odd":
+        first_prb += 1 - cfg.rb_start % 2
+    if d == "three":
+        return 3 * first_prb
+    if d == "one":
+        return first_prb if cfg.row == 2 else 2 * first_prb
+    # 0.5 densities
+    return first_prb // 2 if cfg.row == 2 else first_prb
 
 
 def c_init_for(cfg: CsiRsConfig, slot_in_frame: int | None = None) -> np.ndarray:
+    """Per-used-symbol Gold c_init values ([] scalar if one symbol).  May be
+    fed back traced for slot-invariant compiled programs."""
     sif = cfg.slot_in_frame if slot_in_frame is None else slot_in_frame
-    nof_syms = 2 if cfg.row == 5 else 1
-    vals = [((1 << 10) * (14 * sif + cfg.symbol + so + 1)
-             * (2 * cfg.scrambling_id + 1) + cfg.scrambling_id) % (1 << 31)
-            for so in range(nof_syms)]
-    if nof_syms == 1:
+    vals = [((1 << 10) * (14 * sif + l + 1) * (2 * cfg.scrambling_id + 1)
+             + cfg.scrambling_id) % (1 << 31) for l in _used_symbols(cfg)]
+    if len(vals) == 1:
         return np.array(vals[0], dtype=np.uint32)
     return np.array(vals, dtype=np.uint32)
 
 
-@functools.lru_cache(maxsize=None)
-def _layout(row: int, k0: int):
-    """(nof_ports, density_per_rb, [(port, sc_off, sym_off, wf)] per RB).
+def process(grid: jnp.ndarray, cfg: CsiRsConfig, c_init=None,
+            precoding: np.ndarray | None = None) -> jnp.ndarray:
+    """Map NZP-CSI-RS into a [P, nsym, nsc] grid.
 
-    Rows 1-5 of TS38.211 Table 7.4.1.5.3-1 — the subset expressible on a
-    <=4-port grid (this framework's MAX_PORTS; rows 6-18 need 8..32 CSI-RS
-    ports and activate once wider port grids land).
+    c_init may be traced (scalar, or [nof_used_symbols]).  ``precoding`` is
+    a [nof_csi_ports, P] matrix mapping CSI-RS antenna ports onto physical
+    ports (identity prefix by default, like the reference's default
+    precoding_configuration); rows 6-12 with more CSI-RS ports than grid
+    ports require an explicit matrix.
     """
-    if row == 1:
-        return 1, 3, tuple((0, k0 + 4 * i, 0, 1.0) for i in range(3))
-    if row == 2:
-        return 1, 1, ((0, k0, 0, 1.0),)
-    if row == 3:
-        # 2 ports, fd-CDM2 on (k0, k0+1)
-        return 2, 1, ((0, k0, 0, 1.0), (0, k0 + 1, 0, 1.0),
-                      (1, k0, 0, 1.0), (1, k0 + 1, 0, -1.0))
-    if row == 4:
-        # 4 ports, two fd-CDM2 groups at k0 and k0+2
-        ent = []
-        for g, base in ((0, k0), (1, k0 + 2)):
-            ent += [(2 * g + 0, base, 0, 1.0), (2 * g + 0, base + 1, 0, 1.0),
-                    (2 * g + 1, base, 0, 1.0), (2 * g + 1, base + 1, 0, -1.0)]
-        return 4, 1, tuple(ent)
-    if row == 5:
-        # 4 ports, one fd-CDM2 group on two adjacent symbols (l0, l0+1)
-        ent = []
-        for g, sym in ((0, 0), (1, 1)):
-            ent += [(2 * g + 0, k0, sym, 1.0), (2 * g + 0, k0 + 1, sym, 1.0),
-                    (2 * g + 1, k0, sym, 1.0), (2 * g + 1, k0 + 1, sym, -1.0)]
-        return 4, 1, tuple(ent)
-    raise NotImplementedError(
-        f"CSI-RS row {row} needs {8 if row < 9 else 12}+ ports (> MAX_PORTS)")
+    k_ref = cfg.resolved_k_ref()
+    groups, cdm, fd, td = _cdm_groups(cfg.row, k_ref, cfg.symbol)
+    wf_tab, wt_tab = _CDM_TABLES[cdm]
+    cdm_size = len(wf_tab)
+    nof_csi_ports = len(groups) * cdm_size
+    nof_phys = grid.shape[0]
+    if precoding is None:
+        if nof_csi_ports > nof_phys:
+            raise ValueError(
+                f"CSI-RS row {cfg.row}: {nof_csi_ports} CSI-RS ports > "
+                f"{nof_phys} grid ports; pass a precoding matrix")
+        precoding = np.eye(nof_csi_ports, nof_phys)
+    precoding = np.asarray(precoding)
 
+    rbs = _used_rbs(cfg)
+    n_used = len(rbs)
+    spr = _seq_per_rb(cfg)
+    syms = _used_symbols(cfg)
+    adv = _nof_advance(cfg)
 
-def process(grid: jnp.ndarray, cfg: CsiRsConfig, c_init=None) -> jnp.ndarray:
-    """Map CSI-RS into a [P, nsym, nsc] grid.  c_init may be traced
-    (scalar for single-symbol rows, [nof_symbols] for row 5)."""
-    nof_ports, density, entries = _layout(cfg.row, cfg.k0)
-    l = cfg.symbol
-    npil = density * cfg.rb_count
-    sym_offs = sorted({e[2] for e in entries})
+    # One Gold/QPSK sequence per used OFDM symbol.
     seqs = {}
-    for so in sym_offs:
+    for i, l in enumerate(syms):
         if c_init is None:
-            ci = _c_init(cfg, l + so)
+            ci = int(c_init_for(cfg)[i]) if len(syms) > 1 else int(c_init_for(cfg))
         else:
-            ci = c_init if len(sym_offs) == 1 else c_init[so]
-        bits = gold_sequence(ci, 2 * npil, advance=2 * density * cfg.rb_start)
-        seqs[so] = modulate(bits[None], "qpsk")[0] * cfg.amplitude  # [npil]
-    rbs = np.arange(cfg.rb_start, cfg.rb_start + cfg.rb_count)
-    for port, sc_off, sym_off, wf in entries:
-        # sequence index per RB: density pilots per RB; CDM pair shares m
-        sc = jnp.asarray((rbs * 12 + sc_off).astype(np.int32))
-        if density == 3:
-            m = jnp.asarray((np.arange(cfg.rb_count) * 3
-                             + (sc_off - cfg.k0) // 4).astype(np.int32))
-        else:
-            m = jnp.asarray(np.arange(cfg.rb_count, dtype=np.int32))
-        grid = grid.at[port, l + sym_off, sc].add(wf * seqs[sym_off][m])
+            ci = c_init[i] if len(syms) > 1 else c_init
+        bits = gold_sequence(ci, 2 * spr * n_used, advance=2 * adv)
+        seqs[l] = modulate(bits[None], "qpsk")[0] * cfg.amplitude  # [spr*n_used]
+
+    # Collect (phys_port, sym, sc, value) in vectorized blocks, one
+    # scatter-add per physical port.
+    per_port: dict = {p: ([], [], []) for p in range(nof_phys)}
+
+    def emit(csi_port, l, sc_np, vals):
+        for p in range(nof_phys):
+            w = complex(precoding[csi_port, p])
+            if w == 0.0:
+                continue
+            ls, scs, vs = per_port[p]
+            ls.append(np.full(len(sc_np), l, dtype=np.int32))
+            scs.append(sc_np.astype(np.int32))
+            vs.append(vals if w == 1.0 else w * vals)
+
+    if cfg.row == 1:
+        # 3 REs/RB at k0, k0+4, k0+8; m = 3n + j (mapping_row_1 + density 3).
+        for j in range(3):
+            sc = rbs * 12 + k_ref[0] + 4 * j
+            m = jnp.asarray(np.arange(n_used, dtype=np.int32) * 3 + j)
+            emit(0, cfg.symbol, sc, seqs[cfg.symbol][m])
+    else:
+        for g, (k_bar, l_bar) in enumerate(groups):
+            for ci_idx in range(cdm_size):
+                csi_port = g * cdm_size + ci_idx
+                for lp in range(td):
+                    l = l_bar + lp
+                    wt = wt_tab[ci_idx][lp]
+                    for kp in range(fd):
+                        wf = wf_tab[ci_idx][kp]
+                        sc = rbs * 12 + k_bar + kp
+                        m = jnp.asarray(
+                            np.arange(n_used, dtype=np.int32) * spr + kp)
+                        emit(csi_port, l, sc, (wf * wt) * seqs[l][m])
+
+    for p, (ls, scs, vs) in per_port.items():
+        if not ls:
+            continue
+        l_all = jnp.asarray(np.concatenate(ls))
+        sc_all = jnp.asarray(np.concatenate(scs))
+        v_all = jnp.concatenate(vs)
+        grid = grid.at[p, l_all, sc_all].add(v_all)
     return grid

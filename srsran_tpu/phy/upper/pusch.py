@@ -187,11 +187,35 @@ def _frontend_hop(grid: jnp.ndarray, cfg: PuschConfig, dmrs_cinits=None):
     return x, out_nv, est
 
 
-def process(grid: jnp.ndarray, cfg: PuschConfig,
-            soft_buffer: jnp.ndarray | None = None,
-            nof_iterations: int = 6,
-            dmrs_cinits=None) -> PuschResult:
-    """Full PUSCH receive.  grid: complex64 [P, nsym, nsc] rx resource grid.
+def _repair_placeholders(llr_field, pos_re, o_field: int, qm: int, bpre: int,
+                         c_init, total_bits: int):
+    """Undo scrambling on UCI placeholder bits (TS38.212 x/y placeholders;
+    ulsch_demultiplex_impl.cpp:105-194): for 1-bit payloads bit 1 ('y') is
+    re-descrambled with bit 0's scrambling bit; bits 2..Qm-1 ('x') were
+    never scrambled, so the uniform descramble is reverted."""
+    if qm == 1 or o_field == 0 or o_field > 2 or len(pos_re) == 0:
+        return llr_field
+    if qm == 2 and o_field == 2:
+        return llr_field  # no placeholders: both bits carry payload
+    from ...ops.gold import gold_sequence
+    bit_idx = (np.asarray(pos_re)[:, None].astype(np.int64) * bpre
+               + np.arange(bpre)).reshape(-1)
+    seq = gold_sequence(c_init, total_bits)            # CSE'd with descramble
+    c = seq[jnp.asarray(bit_idx)].reshape(-1, qm)
+    cols = [jnp.ones((c.shape[0], 1), llr_field.dtype)]
+    if o_field == 1:
+        cols.append(jnp.where((c[:, 0] ^ c[:, 1]) == 1, -1.0, 1.0
+                              ).astype(llr_field.dtype)[:, None])
+    else:
+        cols.append(jnp.ones((c.shape[0], 1), llr_field.dtype))
+    if qm > 2:
+        cols.append(jnp.where(c[:, 2:] == 1, -1.0, 1.0).astype(llr_field.dtype))
+    signs = jnp.concatenate(cols, axis=1)
+    return (llr_field.reshape(-1, qm) * signs).reshape(-1)
+
+
+def codeword_llrs(grid: jnp.ndarray, cfg: PuschConfig, dmrs_cinits=None):
+    """Front end through descrambling: (codeword LLRs, channel estimate).
 
     Intra-slot frequency hopping runs the front end per hop (each hop has
     its own DM-RS estimate and PRB range), concatenating equalized symbols
@@ -228,7 +252,15 @@ def process(grid: jnp.ndarray, cfg: PuschConfig,
     llr = demodulate(syms[None], nvs[None], cfg.modulation)
     c_init = (cfg.rnti << 15) + cfg.n_id
     llr = descramble_llrs(llr, c_init)[0]
+    return llr, est
 
+
+def decode_from_llrs(llr: jnp.ndarray, est, cfg: PuschConfig,
+                     soft_buffer: jnp.ndarray | None = None,
+                     nof_iterations: int = 6) -> PuschResult:
+    """UL-SCH demux + UCI decode + rate dematch + LDPC decode from
+    descrambled codeword LLRs (the back half of process())."""
+    c_init = (cfg.rnti << 15) + cfg.n_id
     qm = BITS_PER_SYMBOL[cfg.modulation]
     bpre = qm * cfg.nof_layers                     # bits per RE
     uci_out = {}
@@ -240,10 +272,14 @@ def process(grid: jnp.ndarray, cfg: PuschConfig,
         if u.o_ack:
             pos = fields["ack_punct"] if len(fields["ack_punct"]) else fields["ack"]
             ack_llr = llr_re[jnp.asarray(pos)].reshape(-1)
+            ack_llr = _repair_placeholders(ack_llr, pos, u.o_ack, qm, bpre,
+                                           c_init, llr.shape[0])
             b, ok, met = uci_codec.decode_uci(ack_llr, u.o_ack, qm)
             uci_out.update(harq_ack_bits=b, harq_ack_valid=ok)
         if u.o_csi1:
             c1 = llr_re[jnp.asarray(fields["csi1"])].reshape(-1)
+            c1 = _repair_placeholders(c1, fields["csi1"], u.o_csi1, qm, bpre,
+                                      c_init, llr.shape[0])
             b, ok, _ = uci_codec.decode_uci(c1, u.o_csi1, qm)
             uci_out.update(csi1_bits=b, csi1_valid=ok)
         if u.o_csi2:
@@ -268,3 +304,50 @@ def process(grid: jnp.ndarray, cfg: PuschConfig,
     return PuschResult(tb_bits=res.tb_bits, tb_crc_ok=res.tb_crc_ok,
                        cb_crc_ok=res.cb_crc_ok, new_soft=res.new_soft,
                        csi=est, evm_proxy=jnp.mean(jnp.abs(llr)), **uci_out)
+
+
+def process(grid: jnp.ndarray, cfg: PuschConfig,
+            soft_buffer: jnp.ndarray | None = None,
+            nof_iterations: int = 6,
+            dmrs_cinits=None) -> PuschResult:
+    """Full PUSCH receive.  grid: complex64 [P, nsym, nsc] rx resource grid."""
+    llr, est = codeword_llrs(grid, cfg, dmrs_cinits)
+    return decode_from_llrs(llr, est, cfg, soft_buffer, nof_iterations)
+
+
+def process_with_part2_feedback(grid: jnp.ndarray, cfg: PuschConfig,
+                                part2_descr,
+                                soft_buffer: jnp.ndarray | None = None,
+                                nof_iterations: int = 6,
+                                dmrs_cinits=None) -> PuschResult:
+    """PUSCH receive where the CSI part-2 size is derived from the decoded
+    part-1 payload (pusch_processor_csi_part1_feedback,
+    pusch_processor_impl.cpp:52-104 + uci_part2_size_calculator.cpp).
+
+    TPU-native shape: the front end runs once; CSI part 1 is decoded and
+    synced to host; the part-2 size selects the final (static-shape) demux
+    plan, whose compiled program is cached per distinct size — the dynamic
+    decision is a host branch between compiled programs, like the
+    reference's callback re-configuring the demultiplexer mid-PDU.
+    """
+    from ...ran.uci_on_pusch import uci_part2_get_size
+    u = cfg.uci
+    assert u.o_csi1 > 0, "part-2 feedback needs CSI part 1 on PUSCH"
+    llr, est = codeword_llrs(grid, cfg, dmrs_cinits)
+    # Phase 1: CSI1 placement is independent of the part-2 size (CSI2 fills
+    # strictly later free REs), so decode part 1 under an o_csi2=0 plan.
+    cfg1 = dataclasses.replace(cfg, uci=dataclasses.replace(u, o_csi2=0))
+    dcfg1 = demux_plan(cfg1)
+    fields1 = ulsch_demux.field_positions(dcfg1)
+    qm = BITS_PER_SYMBOL[cfg.modulation]
+    bpre = qm * cfg.nof_layers
+    c_init = (cfg.rnti << 15) + cfg.n_id
+    c1 = llr.reshape(-1, bpre)[jnp.asarray(fields1["csi1"])].reshape(-1)
+    c1 = _repair_placeholders(c1, fields1["csi1"], u.o_csi1, qm, bpre,
+                              c_init, llr.shape[0])
+    csi1_bits, csi1_ok, _ = uci_codec.decode_uci(c1, u.o_csi1, qm)
+    # Host sync: the part-1 payload gates the part-2 size.
+    o_csi2 = uci_part2_get_size(np.asarray(csi1_bits), part2_descr)
+    cfg2 = dataclasses.replace(cfg, uci=dataclasses.replace(u, o_csi2=o_csi2))
+    res = decode_from_llrs(llr, est, cfg2, soft_buffer, nof_iterations)
+    return dataclasses.replace(res, csi1_bits=csi1_bits, csi1_valid=csi1_ok)

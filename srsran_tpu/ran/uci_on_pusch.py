@@ -23,6 +23,62 @@ class UciOnPuschConfig:
     alpha: float = 1.0
 
 
+@dataclasses.dataclass(frozen=True)
+class Part2Parameter:
+    """One CSI part-1 field that selects the part-2 size (bit offset/width)."""
+    offset: int
+    width: int
+
+
+@dataclasses.dataclass(frozen=True)
+class Part2Entry:
+    parameters: tuple            # tuple[Part2Parameter]
+    size_map: tuple              # 2^sum(width) part-2 sizes in bits
+
+
+@dataclasses.dataclass(frozen=True)
+class Part2SizeDescription:
+    """UCI part-1 → part-2 size correspondence (mirror of the reference's
+    uci_part2_size_description, include/srsran/ran/uci/
+    uci_part2_size_description.h; evaluation per
+    lib/ran/uci/uci_part2_size_calculator.cpp:55-90)."""
+    entries: tuple = ()          # tuple[Part2Entry]
+
+    @staticmethod
+    def fixed(size: int) -> "Part2SizeDescription":
+        if size == 0:
+            return Part2SizeDescription(())
+        return Part2SizeDescription(
+            (Part2Entry((Part2Parameter(0, 0),), (size,)),))
+
+    def possible_sizes(self) -> tuple:
+        """All part-2 sizes reachable under this description (ascending)."""
+        if not self.entries:
+            return (0,)
+        totals = {0}
+        for e in self.entries:
+            totals = {t + s for t in totals for s in e.size_map}
+        return tuple(sorted(totals))
+
+
+def uci_part2_get_size(part1_bits, descr: Part2SizeDescription) -> int:
+    """Part-2 payload size from decoded part-1 bits.  Parameters are read
+    MSB-first (the first part-1 bit of the field is the most significant),
+    matching uci_part2_size_calculator.cpp:28-52 (to_uint64 + bit_reverse)."""
+    import numpy as np
+    bits = np.asarray(part1_bits).astype(np.int64)
+    total = 0
+    for entry in descr.entries:
+        index = 0
+        for p in entry.parameters:
+            value = 0
+            for i in range(p.width):
+                value = (value << 1) | int(bits[p.offset + i])
+            index = (index << p.width) | value
+        total += entry.size_map[index]
+    return total
+
+
 def _crc_len(o: int) -> int:
     if o <= 11:
         return 0

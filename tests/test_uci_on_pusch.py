@@ -74,8 +74,14 @@ def _build_ul_grid(cfg: pusch.PuschConfig, payload, ack=None, csi1=None,
                 jnp.asarray(csi2), len(f["csi2"]) * bpre, qm))
         cw = ulsch_demux.mux_codeword(dcfg, data_coded, ack_coded,
                                       csi1_coded, csi2_coded)
-    scr = np.asarray(scramble_bits(jnp.asarray(cw[None]),
-                                   (cfg.rnti << 15) + cfg.n_id))[0]
+    from srsran_tpu.ops.gold import gold_sequence
+    seq = np.asarray(gold_sequence((cfg.rnti << 15) + cfg.n_id, len(cw)))
+    if dcfg is not None:
+        cls = ulsch_demux.placeholder_bit_classes(
+            dcfg, cfg.uci.o_ack, cfg.uci.o_csi1)
+        scr = ulsch_demux.scramble_with_placeholders(np.asarray(cw), seq, cls)
+    else:
+        scr = (np.asarray(cw).astype(np.int8) ^ seq).astype(np.int8)
     syms = np.asarray(modulate(jnp.asarray(scr[None]), cfg.modulation))[0]
     grid = np.zeros((1, 14, cfg.rb_count * 12 + cfg.rb_start * 12),
                     dtype=np.complex64)
@@ -135,3 +141,99 @@ def test_uci_punctured_one_bit_ack():
     np.testing.assert_array_equal(np.asarray(res.tb_bits), payload)
     assert bool(res.harq_ack_valid)
     np.testing.assert_array_equal(np.asarray(res.harq_ack_bits), ack)
+
+
+def test_uci_placeholder_repair_one_bit_qam16():
+    """1-bit ACK on QAM16: y/x placeholders are scrambled per TS38.211
+    §6.3.1.1 on TX and repaired on RX (ulsch_demultiplex_impl.cpp:105-194)."""
+    cfg = pusch.PuschConfig(
+        rnti=0x41, rb_start=0, rb_count=12, first_symbol=0, nof_symbols=14,
+        modulation="qam16", target_code_rate=0.4, tbs=2152, nof_layers=1,
+        n_id=7, dmrs_symbols=(2, 7, 11), uci=UciOnPuschConfig(o_ack=1))
+    rng = np.random.default_rng(91)
+    payload = rng.integers(0, 2, cfg.tbs).astype(np.int8)
+    for ack_val in (0, 1):
+        ack = np.array([ack_val], dtype=np.int8)
+        tx = _build_ul_grid(cfg, payload, ack)[0]
+        rx = np.stack([tx, 0.8 * tx])
+        sigma = 0.04
+        rx = rx + (rng.normal(0, sigma / np.sqrt(2), rx.shape)
+                   + 1j * rng.normal(0, sigma / np.sqrt(2), rx.shape))
+        res = pusch.process(jnp.asarray(rx.astype(np.complex64)), cfg)
+        assert bool(res.tb_crc_ok)
+        assert bool(res.harq_ack_valid)
+        np.testing.assert_array_equal(np.asarray(res.harq_ack_bits), ack)
+
+
+def test_uci_placeholder_repair_two_bit_qam64():
+    cfg = pusch.PuschConfig(
+        rnti=0x42, rb_start=0, rb_count=12, first_symbol=0, nof_symbols=14,
+        modulation="qam64", target_code_rate=0.4, tbs=3240, nof_layers=1,
+        n_id=9, dmrs_symbols=(2, 7, 11),
+        uci=UciOnPuschConfig(o_ack=2, o_csi1=2))
+    rng = np.random.default_rng(92)
+    payload = rng.integers(0, 2, cfg.tbs).astype(np.int8)
+    ack = np.array([1, 0], dtype=np.int8)
+    csi1 = np.array([0, 1], dtype=np.int8)
+    tx = _build_ul_grid(cfg, payload, ack, csi1)[0]
+    rx = np.stack([tx, 0.8 * tx])
+    sigma = 0.03
+    rx = rx + (rng.normal(0, sigma / np.sqrt(2), rx.shape)
+               + 1j * rng.normal(0, sigma / np.sqrt(2), rx.shape))
+    res = pusch.process(jnp.asarray(rx.astype(np.complex64)), cfg)
+    assert bool(res.tb_crc_ok)
+    np.testing.assert_array_equal(np.asarray(res.harq_ack_bits), ack)
+    np.testing.assert_array_equal(np.asarray(res.csi1_bits), csi1)
+
+
+def test_csi_part2_size_from_part1():
+    from srsran_tpu.ran.uci_on_pusch import (
+        Part2Entry, Part2Parameter, Part2SizeDescription, uci_part2_get_size)
+    # RI (1 bit at offset 0) selects part-2 size: RI=0 -> 4 bits, RI=1 -> 7.
+    descr = Part2SizeDescription(
+        (Part2Entry((Part2Parameter(0, 1),), (4, 7)),))
+    assert uci_part2_get_size(np.array([0, 1, 1, 0, 1]), descr) == 4
+    assert uci_part2_get_size(np.array([1, 1, 1, 0, 1]), descr) == 7
+    assert descr.possible_sizes() == (4, 7)
+    # MSB-first multi-bit parameter
+    d2 = Part2SizeDescription(
+        (Part2Entry((Part2Parameter(0, 2),), (1, 2, 3, 4)),))
+    assert uci_part2_get_size(np.array([1, 0]), d2) == 3   # index 0b10
+    assert uci_part2_get_size(np.array([0, 1]), d2) == 2   # index 0b01
+
+
+def test_pusch_part2_feedback_end_to_end():
+    from srsran_tpu.ran.uci_on_pusch import (
+        Part2Entry, Part2Parameter, Part2SizeDescription)
+    rng = np.random.default_rng(93)
+    descr = Part2SizeDescription(
+        (Part2Entry((Part2Parameter(0, 1),), (4, 7)),))
+    for csi1_first_bit in (0, 1):
+        csi1 = np.array([csi1_first_bit, 1, 0, 1], dtype=np.int8)
+        o_csi2 = 4 if csi1_first_bit == 0 else 7
+        csi2 = rng.integers(0, 2, o_csi2).astype(np.int8)
+        cfg = pusch.PuschConfig(
+            rnti=0x43, rb_start=0, rb_count=12, first_symbol=0,
+            nof_symbols=14, modulation="qam16", target_code_rate=0.4,
+            tbs=2152, nof_layers=1, n_id=5, dmrs_symbols=(2, 7, 11),
+            uci=UciOnPuschConfig(o_ack=0, o_csi1=4, o_csi2=o_csi2))
+        payload = rng.integers(0, 2, cfg.tbs).astype(np.int8)
+        tx = _build_ul_grid(cfg, payload, None, csi1, csi2)[0]
+        rx = np.stack([tx, 0.8 * tx])
+        sigma = 0.04
+        rx = rx + (rng.normal(0, sigma / np.sqrt(2), rx.shape)
+                   + 1j * rng.normal(0, sigma / np.sqrt(2), rx.shape))
+        # Receiver does NOT know o_csi2; it derives it from decoded part 1.
+        rx_cfg = pusch.PuschConfig(
+            rnti=0x43, rb_start=0, rb_count=12, first_symbol=0,
+            nof_symbols=14, modulation="qam16", target_code_rate=0.4,
+            tbs=2152, nof_layers=1, n_id=5, dmrs_symbols=(2, 7, 11),
+            uci=UciOnPuschConfig(o_ack=0, o_csi1=4, o_csi2=0))
+        res = pusch.process_with_part2_feedback(
+            jnp.asarray(rx.astype(np.complex64)), rx_cfg, descr)
+        assert bool(res.tb_crc_ok)
+        np.testing.assert_array_equal(np.asarray(res.tb_bits), payload)
+        np.testing.assert_array_equal(np.asarray(res.csi1_bits), csi1)
+        assert res.csi2_bits is not None
+        assert res.csi2_bits.shape[-1] == o_csi2
+        np.testing.assert_array_equal(np.asarray(res.csi2_bits), csi2)
