@@ -83,29 +83,43 @@ class PucchF0Config:
     slot: int = 0
     nof_harq_bits: int = 1    # 0..2
     sr_opportunity: bool = False
+    second_hop_prb: int | None = None  # PRB of symbol 1 with intra-slot hopping
+
+
+# TS38.213 §9.2.3/9.2.4/9.2.5 cyclic-shift dictionaries: (m_cs, sr, harq)
+# per (nof_harq_bits, sr_opportunity) — mirror of the tables at
+# pucch_detector_format0.cpp:45-66.
+_F0_TABLES = {
+    (0, True): ((0, 1, ()),),
+    (1, False): ((0, None, (0,)), (6, None, (1,))),
+    (2, False): ((0, None, (0, 0)), (3, None, (0, 1)),
+                 (6, None, (1, 1)), (9, None, (1, 0))),
+    (1, True): ((0, 0, (0,)), (6, 0, (1,)), (3, 1, (0,)), (9, 1, (1,))),
+    (2, True): ((0, 0, (0, 0)), (3, 0, (0, 1)), (6, 0, (1, 1)),
+                (9, 0, (1, 0)), (1, 1, (0, 0)), (4, 1, (0, 1)),
+                (7, 1, (1, 1)), (10, 1, (1, 0))),
+}
 
 
 def detect_format0(grid: jnp.ndarray, cfg: PucchF0Config,
                    threshold: float = 4.0, ncs=None):
-    """Detect HARQ/SR on PUCCH F0.
+    """Detect HARQ/SR on PUCCH F0 (pucch_detector_format0.cpp:118-235).
 
-    grid: [P, nsym, nsc].  Returns dict with detected bits + metric.
-    m_cs per TS38.213 §9.2.3/9.2.5: 1 bit -> {0:NACK, 6:ACK};
-    2 bits -> {0,3,6,9} for (NN, NA, AA, AN); SR-only uses m_cs=0.
+    grid: [P, nsym, nsc].  Candidate m_cs dictionaries follow TS38.213
+    §9.2.3-9.2.5 including combined HARQ+SR signalling; with intra-slot
+    frequency hopping the second symbol is read from second_hop_prb.
+    Returns dict with detected flag, HARQ bits, SR bit and metric.
     """
-    if cfg.nof_harq_bits == 0:
-        cand_mcs = [0]
-    elif cfg.nof_harq_bits == 1:
-        cand_mcs = [0, 6]
-    else:
-        cand_mcs = [0, 3, 6, 9]
-    sc = jnp.arange(cfg.prb * 12, (cfg.prb + 1) * 12)
+    table = _F0_TABLES[(cfg.nof_harq_bits, cfg.sr_opportunity)]
     corr_total = []
     energy = 0.0
-    for mi, m_cs in enumerate(cand_mcs):
+    for m_cs, _, _ in table:
         acc = 0.0
         for s in range(cfg.nof_symbols):
             l = cfg.start_symbol + s
+            prb = (cfg.second_hop_prb
+                   if s > 0 and cfg.second_hop_prb is not None else cfg.prb)
+            sc = jnp.arange(prb * 12, (prb + 1) * 12)
             rx = grid[:, l, sc]                                  # [P, 12]
             ref = jnp.asarray(_f01_sequence(
                 cfg.n_id, cfg.slot, l, cfg.initial_cyclic_shift, m_cs,
@@ -114,22 +128,22 @@ def detect_format0(grid: jnp.ndarray, cfg: PucchF0Config,
         corr_total.append(jnp.sum(acc))
     for s in range(cfg.nof_symbols):
         l = cfg.start_symbol + s
+        prb = (cfg.second_hop_prb
+               if s > 0 and cfg.second_hop_prb is not None else cfg.prb)
+        sc = jnp.arange(prb * 12, (prb + 1) * 12)
         energy = energy + jnp.sum(jnp.abs(grid[:, l, sc]) ** 2)
     corr = jnp.stack(corr_total) / 12.0                          # [C]
     noise = jnp.maximum(energy - jnp.max(corr), 1e-9) / 12.0
     metric = corr / noise
     best = jnp.argmax(metric)
     detected = metric[best] > threshold
-    if cfg.nof_harq_bits == 1:
-        harq = jnp.where(best == 1, 1, 0)[None]
-    elif cfg.nof_harq_bits == 2:
-        # order: (00)->0, (01)?? TS38.213: mcs 0,3,6,9 <-> {00,01,11,10}
-        mapping = jnp.asarray([[0, 0], [0, 1], [1, 1], [1, 0]], dtype=jnp.int8)
-        harq = mapping[best]
-    else:
-        harq = jnp.zeros((0,), dtype=jnp.int8)
+    harq_map = np.array([h for _, _, h in table], dtype=np.int8).reshape(
+        len(table), cfg.nof_harq_bits)
+    harq = jnp.asarray(harq_map)[best]
+    sr_vals = [s if s is not None else 0 for _, s, _ in table]
+    sr = jnp.asarray(np.array(sr_vals, dtype=np.int8))[best]
     return {"detected": detected, "metric": metric[best], "harq_bits": harq,
-            "best_mcs_index": best}
+            "sr_bit": sr, "best_mcs_index": best}
 
 
 # ----------------------------------------------------------------- Format 1
@@ -144,6 +158,7 @@ class PucchF1Config:
     n_id: int
     slot: int = 0
     nof_harq_bits: int = 1    # 1 or 2
+    second_hop_prb: int | None = None  # intra-slot frequency hopping
 
 
 def _occ(idx: int, length: int) -> np.ndarray:
@@ -151,45 +166,73 @@ def _occ(idx: int, length: int) -> np.ndarray:
     return np.exp(2j * np.pi * idx * m / length).astype(np.complex64)
 
 
+def _f1_hops(cfg: PucchF1Config):
+    """[(prb, first_rel_symbol, nof_symbols)] — one hop, or two with
+    intra-slot frequency hopping (hop 0 = first floor(N/2) symbols,
+    pucch_detector_format1.cpp:172-192)."""
+    if cfg.second_hop_prb is None:
+        return ((cfg.prb, 0, cfg.nof_symbols),)
+    n0 = cfg.nof_symbols // 2
+    return ((cfg.prb, 0, n0), (cfg.second_hop_prb, n0, cfg.nof_symbols - n0))
+
+
 def detect_format1(grid: jnp.ndarray, cfg: PucchF1Config,
                    threshold: float = 1.5, ncs=None):
-    """Despread + coherently combine + decide (pucch_detector_format1.h:45-150)."""
-    n_data = cfg.nof_symbols // 2
-    n_dmrs = cfg.nof_symbols - n_data
-    sc = jnp.arange(cfg.prb * 12, (cfg.prb + 1) * 12)
-    occ_dmrs = _occ(cfg.time_domain_occ, n_dmrs)
-    occ_data = _occ(cfg.time_domain_occ, n_data)
+    """Despread + coherently combine + decide (pucch_detector_format1.h:45-150).
 
-    dm_acc = jnp.zeros((grid.shape[0], 12), dtype=jnp.complex64)
-    data_syms = []
-    di = mi = 0
-    for s in range(cfg.nof_symbols):
-        l = cfg.start_symbol + s
-        ref = jnp.asarray(_f01_sequence(
-            cfg.n_id, cfg.slot, l, cfg.initial_cyclic_shift,
-            0, None if ncs is None else ncs[l]))
-        rx = grid[:, l, sc] * jnp.conj(ref)
-        if s % 2 == 0:      # DM-RS symbols are the even ones
-            dm_acc = dm_acc + rx * np.conj(occ_dmrs[mi])
-            mi += 1
-        else:
-            data_syms.append(rx * np.conj(occ_data[di]))
-            di += 1
-    # Per-port wideband average over the PRB: a different-cyclic-shift user
-    # appears as a phase ramp across subcarriers after despreading, which
-    # the flat (1-PRB) average rejects — the reference's per-hop channel
-    # averaging does the same.
-    h = jnp.mean(dm_acc / n_dmrs, axis=-1, keepdims=True) * jnp.ones((1, 12))
-    h = h.astype(jnp.complex64)
-    h_energy = jnp.sum(jnp.abs(h) ** 2)
-    # Per-data-symbol matched filter: other multiplexed users (different
-    # cyclic shift or OCC) cancel inside each subcarrier/OCC sum, so the
-    # z_s statistics see only this user's symbol + noise.
-    z_s = jnp.stack([jnp.sum(jnp.conj(h) * y) for y in data_syms])  # [n_data]
+    With intra-slot frequency hopping each hop gets its own channel
+    estimate and OCC spreading lengths (the OCC index must satisfy
+    occ < nof_symbols/4, pucch_detector_format1.cpp:91); per-hop matched
+    filter contributions are summed like the reference's
+    hop_contribution_common/mux accumulation (:172-231).
+    """
+    assert cfg.time_domain_occ < cfg.nof_symbols // (
+        4 if cfg.second_hop_prb is not None else 2), \
+        "time-domain OCC index too large for the symbol count / hopping"
+    z_all = []           # per-data-symbol matched-filter statistics
+    h_energy = 0.0
+    n_data_total = 0
+    for prb, s0, nsym in _f1_hops(cfg):
+        sc = jnp.arange(prb * 12, (prb + 1) * 12)
+        # DM-RS on even relative symbols of the WHOLE allocation
+        rel = list(range(s0, s0 + nsym))
+        dmrs_rel = [s for s in rel if s % 2 == 0]
+        data_rel = [s for s in rel if s % 2 == 1]
+        occ_dmrs = _occ(cfg.time_domain_occ, len(dmrs_rel))
+        occ_data = _occ(cfg.time_domain_occ, max(len(data_rel), 1))
+        dm_acc = jnp.zeros((grid.shape[0], 12), dtype=jnp.complex64)
+        data_syms = []
+        for i, s in enumerate(dmrs_rel):
+            l = cfg.start_symbol + s
+            ref = jnp.asarray(_f01_sequence(
+                cfg.n_id, cfg.slot, l, cfg.initial_cyclic_shift,
+                0, None if ncs is None else ncs[l]))
+            dm_acc = dm_acc + grid[:, l, sc] * jnp.conj(ref) * np.conj(occ_dmrs[i])
+        for i, s in enumerate(data_rel):
+            l = cfg.start_symbol + s
+            ref = jnp.asarray(_f01_sequence(
+                cfg.n_id, cfg.slot, l, cfg.initial_cyclic_shift,
+                0, None if ncs is None else ncs[l]))
+            data_syms.append(grid[:, l, sc] * jnp.conj(ref)
+                             * np.conj(occ_data[i]))
+        # Per-port wideband average over the PRB: a different-cyclic-shift
+        # user appears as a phase ramp across subcarriers after
+        # despreading, which the flat (1-PRB) average rejects — same as
+        # the reference's per-hop channel averaging.
+        h = jnp.mean(dm_acc / max(len(dmrs_rel), 1), axis=-1,
+                     keepdims=True) * jnp.ones((1, 12))
+        h = h.astype(jnp.complex64)
+        h_energy = h_energy + jnp.sum(jnp.abs(h) ** 2)
+        # Matched filter per data symbol: other multiplexed users cancel
+        # inside each subcarrier/OCC sum.
+        z_all.extend(jnp.sum(jnp.conj(h) * y) for y in data_syms)
+        n_data_total += len(data_rel)
+    z_s = jnp.stack(z_all)                                   # [n_data_total]
     z_mean = jnp.mean(z_s)
-    d_hat = z_mean / jnp.maximum(h_energy, 1e-12)
+    d_hat = z_mean / jnp.maximum(
+        h_energy / (2 if cfg.second_hop_prb is not None else 1), 1e-12)
     var = jnp.mean(jnp.abs(z_s - z_mean) ** 2)
-    metric = n_data * jnp.abs(z_mean) ** 2 / jnp.maximum(var, 1e-9)
+    metric = n_data_total * jnp.abs(z_mean) ** 2 / jnp.maximum(var, 1e-9)
     if cfg.nof_harq_bits == 1:
         bits = jnp.asarray([jnp.real(d_hat) < 0], dtype=jnp.int8)
     else:

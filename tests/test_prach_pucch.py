@@ -166,3 +166,84 @@ def test_pucch_f2(k):
     res = pucch.process_format2(jnp.asarray(g.astype(np.complex64)), cfg)
     assert bool(res["valid"])
     np.testing.assert_array_equal(np.asarray(res["uci_bits"]), uci)
+
+
+@pytest.mark.parametrize("ack,sr", [(0, 0), (1, 0), (0, 1), (1, 1)])
+def test_pucch_f0_harq_plus_sr(ack, sr):
+    """Combined 1-bit HARQ + SR dictionary (TS38.213 Table 9.2.5-1:
+    m_cs 0/6 negative SR, 3/9 positive SR)."""
+    cfg = pucch.PucchF0Config(prb=3, start_symbol=12, nof_symbols=2,
+                              initial_cyclic_shift=2, n_id=31, slot=1,
+                              nof_harq_bits=1, sr_opportunity=True)
+    m_cs = {(0, 0): 0, (1, 0): 6, (0, 1): 3, (1, 1): 9}[(ack, sr)]
+    rng = np.random.default_rng(ack * 2 + sr)
+    g = np.zeros((2, 14, 120), dtype=np.complex64)
+    ch = np.array([0.9 * np.exp(1j), 0.5 * np.exp(-0.5j)])
+    for s in range(2):
+        l = cfg.start_symbol + s
+        seq = pucch._f01_sequence(cfg.n_id, cfg.slot, l,
+                                  cfg.initial_cyclic_shift, m_cs)
+        g[:, l, 36:48] = ch[:, None] * seq[None, :]
+    g += 0.03 * (rng.normal(size=g.shape) + 1j * rng.normal(size=g.shape))
+    res = pucch.detect_format0(jnp.asarray(g), cfg)
+    assert bool(res["detected"])
+    assert int(np.asarray(res["harq_bits"])[0]) == ack
+    assert int(np.asarray(res["sr_bit"])) == sr
+
+
+def test_pucch_f0_frequency_hopping():
+    cfg = pucch.PucchF0Config(prb=1, start_symbol=10, nof_symbols=2,
+                              initial_cyclic_shift=0, n_id=9, slot=0,
+                              nof_harq_bits=1, second_hop_prb=7)
+    rng = np.random.default_rng(3)
+    g = np.zeros((2, 14, 120), dtype=np.complex64)
+    ch = np.array([1.0, 0.7 * np.exp(0.9j)])
+    for s, prb in ((0, 1), (1, 7)):
+        l = cfg.start_symbol + s
+        seq = pucch._f01_sequence(cfg.n_id, cfg.slot, l, 0, 6)  # ACK
+        g[:, l, prb * 12:(prb + 1) * 12] = ch[:, None] * seq[None, :]
+    g += 0.03 * (rng.normal(size=g.shape) + 1j * rng.normal(size=g.shape))
+    res = pucch.detect_format0(jnp.asarray(g), cfg)
+    assert bool(res["detected"])
+    assert int(np.asarray(res["harq_bits"])[0]) == 1
+
+
+@pytest.mark.parametrize("bits", [[0], [1], [1, 0]])
+def test_pucch_f1_frequency_hopping(bits):
+    """F1 with intra-slot hopping: independent per-hop channels and
+    per-hop OCC lengths."""
+    cfg = pucch.PucchF1Config(prb=2, start_symbol=0, nof_symbols=10,
+                              initial_cyclic_shift=4, time_domain_occ=1,
+                              n_id=12, slot=3, nof_harq_bits=len(bits),
+                              second_hop_prb=6)
+    rng = np.random.default_rng(sum(bits) + 7)
+    if len(bits) == 1:
+        d = (1.0 - 2.0 * bits[0]) / np.sqrt(2) * (1 + 1j)
+    else:
+        d = ((1.0 - 2.0 * bits[0]) + 1j * (1.0 - 2.0 * bits[1])) / np.sqrt(2)
+    g = np.zeros((2, 14, 120), dtype=np.complex64)
+    # different channel per hop (frequency diversity is the point)
+    ch_hop = {0: np.array([0.8 * np.exp(0.3j), 0.6 * np.exp(-1.1j)]),
+              1: np.array([0.5 * np.exp(-2.0j), 0.9 * np.exp(0.7j)])}
+    for hop, (prb, s0, nsym) in enumerate(pucch._f1_hops(cfg)):
+        rel = list(range(s0, s0 + nsym))
+        dmrs_rel = [s for s in rel if s % 2 == 0]
+        data_rel = [s for s in rel if s % 2 == 1]
+        occ_m = pucch._occ(cfg.time_domain_occ, len(dmrs_rel))
+        occ_d = pucch._occ(cfg.time_domain_occ, len(data_rel))
+        for i, s in enumerate(dmrs_rel):
+            l = cfg.start_symbol + s
+            seq = pucch._f01_sequence(cfg.n_id, cfg.slot, l,
+                                      cfg.initial_cyclic_shift)
+            g[:, l, prb * 12:(prb + 1) * 12] = (
+                ch_hop[hop][:, None] * (seq * occ_m[i])[None, :])
+        for i, s in enumerate(data_rel):
+            l = cfg.start_symbol + s
+            seq = pucch._f01_sequence(cfg.n_id, cfg.slot, l,
+                                      cfg.initial_cyclic_shift)
+            g[:, l, prb * 12:(prb + 1) * 12] = (
+                ch_hop[hop][:, None] * (d * seq * occ_d[i])[None, :])
+    g += 0.04 * (rng.normal(size=g.shape) + 1j * rng.normal(size=g.shape))
+    res = pucch.detect_format1(jnp.asarray(g.astype(np.complex64)), cfg)
+    assert bool(res["detected"]), float(res["metric"])
+    np.testing.assert_array_equal(np.asarray(res["harq_bits"]), bits)
