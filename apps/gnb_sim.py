@@ -15,6 +15,7 @@ Usage:
 import argparse
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -27,6 +28,9 @@ def main():
                     help="dotted override, e.g. --set run.nof_slots=200")
     ap.add_argument("--trace", default="")
     ap.add_argument("--dump-config", action="store_true")
+    ap.add_argument("--remote-port", type=int, default=-1,
+                    help="enable the remote-control WebSocket JSON server "
+                         "on this port (0 = ephemeral)")
     args = ap.parse_args()
 
     from srsran_tpu.utils import config as config_mod
@@ -56,9 +60,32 @@ def main():
     m_dl = registry.block("dl_slot")
     m_ul = registry.block("ul_slot")
 
+    # Remote control (apps/services/remote_control analogue): metrics /
+    # status queries and quit, live while the slot loop runs.
+    stop_flag = threading.Event()
+    progress = {"slot": 0}
+    remote = None
+    if args.remote_port >= 0:
+        from srsran_tpu.utils import remote_control as rc
+        remote = rc.RemoteServer(
+            commands=[
+                rc.FunctionCommand("metrics", "Report per-block PHY metrics",
+                                   lambda p: {"report": registry.report()}),
+                rc.FunctionCommand("status", "Slot-loop progress",
+                                   lambda p: {"slot": progress["slot"],
+                                              "nof_slots": cfg.nof_slots}),
+            ],
+            port=args.remote_port, stop_cb=stop_flag.set)
+        remote.start()
+        print(f"remote control listening on ws://127.0.0.1:{remote.port}")
+
     crc_ok = crc_fail = dl_slots = ul_slots = 0
     t_start = time.monotonic()
     for count in range(cfg.nof_slots):
+        if stop_flag.is_set():
+            print(f"remote quit at slot {count}")
+            break
+        progress["slot"] = count
         slot = SlotPoint(cfg.cell.numerology, count)
         with tracing.app_tracer.span("slot", count=count):
             if cfg.tdd.is_dl(slot.count):
@@ -81,6 +108,8 @@ def main():
                         crc_fail += int(not c.tb_crc_ok)
                     ul_slots += 1
     elapsed = time.monotonic() - t_start
+    if remote is not None:
+        remote.stop()
 
     print(f"done: {cfg.nof_slots} slots in {elapsed:.2f}s "
           f"({cfg.nof_slots / elapsed:.0f} slots/s wall; "
