@@ -67,21 +67,28 @@ def dl_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
         program independent of the slot/SFN."""
         grid = jnp.zeros((cell.nof_ports, 14 if cell.cp is CyclicPrefix.NORMAL
                           else 12, cell.nof_sc), dtype=jnp.complex64)
+        # named_scope per block: device-time attribution for
+        # utils/device_metrics.profile_blocks (per-block metric decorators).
         for i, (cfg, mib) in enumerate(zip(ssb_cfgs, ssb_mib)):
             sctx = ctx["ssb"][i] if ctx else None
-            grid = ssb_mod.map_ssb_to_grid(grid, cfg, mib, sctx)
+            with jax.named_scope("ssb"):
+                grid = ssb_mod.map_ssb_to_grid(grid, cfg, mib, sctx)
         for i, (cfg, bits) in enumerate(zip(pdcch_cfgs, pdcch_payloads)):
             ci = ctx["pdcch"][i] if ctx else None
-            grid = pdcch_mod.process(grid, bits, cfg, dmrs_cinits=ci)
+            with jax.named_scope("pdcch"):
+                grid = pdcch_mod.process(grid, bits, cfg, dmrs_cinits=ci)
         for i, (cfg, bits) in enumerate(zip(pdsch_cfgs, pdsch_payloads)):
             ci = ctx["pdsch"][i] if ctx else None
-            grid = pdsch_mod.process(grid, bits, cfg, dmrs_cinits=ci)
+            with jax.named_scope("pdsch"):
+                grid = pdsch_mod.process(grid, bits, cfg, dmrs_cinits=ci)
         for i, cfg in enumerate(csi_cfgs):
             ci = ctx["csi"][i] if ctx else None
-            grid = csi_rs_mod.process(grid, cfg, c_init=ci)
-        samples = ofdm.modulate_slot(
-            grid, cell.dft_size, cell.numerology, cell.cp, slot_in_subframe,
-            cell.center_freq_hz, cell.tx_scale)
+            with jax.named_scope("csi_rs"):
+                grid = csi_rs_mod.process(grid, cfg, c_init=ci)
+        with jax.named_scope("ofdm_modulate"):
+            samples = ofdm.modulate_slot(
+                grid, cell.dft_size, cell.numerology, cell.cp,
+                slot_in_subframe, cell.center_freq_hz, cell.tx_scale)
         return samples, grid
 
     return run
@@ -107,15 +114,18 @@ def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
     pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs = plan
 
     def run(samples, prach_fd, soft_buffers, ctx=None):
-        grid = ofdm.demodulate_slot(
-            samples, cell.nof_sc, cell.dft_size, cell.numerology, cell.cp,
-            slot_in_subframe, cell.center_freq_hz)
+        with jax.named_scope("ofdm_demodulate"):
+            grid = ofdm.demodulate_slot(
+                samples, cell.nof_sc, cell.dft_size, cell.numerology, cell.cp,
+                slot_in_subframe, cell.center_freq_hz)
         out = {"pusch": [], "pucch_f0": [], "pucch_f1": [], "pucch_f2": [],
                "prach": []}
         for i, cfg in enumerate(pusch_cfgs):
             sb = soft_buffers[i] if soft_buffers is not None else None
             ci = ctx["pusch"][i] if ctx else None
-            res = pusch_mod.process(grid, cfg, soft_buffer=sb, dmrs_cinits=ci)
+            with jax.named_scope("pusch"):
+                res = pusch_mod.process(grid, cfg, soft_buffer=sb,
+                                        dmrs_cinits=ci)
             out["pusch"].append({
                 "tb_bits": res.tb_bits, "tb_crc_ok": res.tb_crc_ok,
                 "new_soft": res.new_soft,
@@ -123,15 +133,21 @@ def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
                 "rsrp": res.csi.rsrp, "cfo_hz": res.csi.cfo_hz})
         for i, cfg in enumerate(f0_cfgs):
             ncs = ctx["f0"][i] if ctx else None
-            out["pucch_f0"].append(pucch_mod.detect_format0(grid, cfg, ncs=ncs))
+            with jax.named_scope("pucch_f0"):
+                out["pucch_f0"].append(
+                    pucch_mod.detect_format0(grid, cfg, ncs=ncs))
         for i, cfg in enumerate(f1_cfgs):
             ncs = ctx["f1"][i] if ctx else None
-            out["pucch_f1"].append(pucch_mod.detect_format1(grid, cfg, ncs=ncs))
+            with jax.named_scope("pucch_f1"):
+                out["pucch_f1"].append(
+                    pucch_mod.detect_format1(grid, cfg, ncs=ncs))
         for i, cfg in enumerate(f2_cfgs):
             ci = ctx["f2"][i] if ctx else None
-            out["pucch_f2"].append(pucch_mod.process_format2(grid, cfg, ci))
+            with jax.named_scope("pucch_f2"):
+                out["pucch_f2"].append(pucch_mod.process_format2(grid, cfg, ci))
         for i, cfg in enumerate(prach_cfgs):
-            det = prach_mod.detect(prach_fd[i], cfg)
+            with jax.named_scope("prach"):
+                det = prach_mod.detect(prach_fd[i], cfg)
             out["prach"].append({
                 "metrics": det.metrics, "ta_s": det.time_advance_s,
                 "detected": det.detected, "rssi": det.rssi})

@@ -146,17 +146,23 @@ def process(grid: jnp.ndarray, payload_bits: jnp.ndarray, cfg: PdschConfig,
     nof_ports = grid.shape[0]
     if precoding is None:
         precoding = identity_precoder(nof_ports, cfg.nof_layers)
-    codeword, _ = encode_transport_block(payload_bits, cfg)
+    with jax.named_scope("sch_encode"):
+        codeword, _ = encode_transport_block(payload_bits, cfg)
     c_init = (cfg.rnti << 15) + cfg.n_id
-    scrambled = scramble_bits(codeword[None], c_init)
-    symbols = modulate(scrambled, cfg.modulation)                   # [1, S]
+    with jax.named_scope("scramble"):
+        scrambled = scramble_bits(codeword[None], c_init)
+    with jax.named_scope("modulate"):
+        symbols = modulate(scrambled, cfg.modulation)               # [1, S]
     layers = layer_map(symbols[0], cfg.nof_layers)                  # [L, S/L]
-    ports = precode(layers, jnp.asarray(precoding))                 # [P, S/L]
+    with jax.named_scope("precode"):
+        ports = precode(layers, jnp.asarray(precoding))             # [P, S/L]
     plan = _data_re_plan(cfg.rb_start, cfg.rb_count, cfg.first_symbol,
                          cfg.nof_symbols, cfg.dmrs_symbols,
                          cfg.reserved_cdm_groups)
     sym_idx = jnp.asarray(plan[:, 0])
     sc_idx = jnp.asarray(plan[:, 1])
-    grid = grid.at[:, sym_idx, sc_idx].add(ports)
-    grid = map_dmrs(grid, dmrs_config(cfg), precoding, dmrs_cinits)
+    with jax.named_scope("map_to_grid"):
+        grid = grid.at[:, sym_idx, sc_idx].add(ports)
+    with jax.named_scope("dmrs"):
+        grid = map_dmrs(grid, dmrs_config(cfg), precoding, dmrs_cinits)
     return grid

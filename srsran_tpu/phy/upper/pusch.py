@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -172,7 +173,8 @@ def _frontend_hop(grid: jnp.ndarray, cfg: PuschConfig, dmrs_cinits=None):
     """Single-hop front end: estimate -> gather -> equalize.
 
     Returns (x [RE, L], out_nv [RE, L], est)."""
-    est = estimate_channel(grid, cfg, dmrs_cinits)
+    with jax.named_scope("channel_estimate"):
+        est = estimate_channel(grid, cfg, dmrs_cinits)
     plan = _data_re_plan(cfg.rb_start, cfg.rb_count, cfg.first_symbol,
                          cfg.nof_symbols, cfg.dmrs_symbols,
                          cfg.reserved_cdm_groups)
@@ -182,8 +184,9 @@ def _frontend_hop(grid: jnp.ndarray, cfg: PuschConfig, dmrs_cinits=None):
     h = est.coeffs[:, :, sym_idx, sc_rel]                # [P, L, RE]
     h = jnp.transpose(h, (2, 0, 1))                      # [RE, P, L]
     nv = jnp.mean(est.noise_var)
-    x, out_nv = equalize(y, h, jnp.broadcast_to(nv, y.shape[:1]),
-                         cfg.nof_layers, cfg.equalizer)
+    with jax.named_scope("equalize"):
+        x, out_nv = equalize(y, h, jnp.broadcast_to(nv, y.shape[:1]),
+                             cfg.nof_layers, cfg.equalizer)
     return x, out_nv, est
 
 
@@ -249,9 +252,11 @@ def codeword_llrs(grid: jnp.ndarray, cfg: PuschConfig, dmrs_cinits=None):
     # layer demap: [RE, L] -> codeword order d(i): i-th symbol = (re, layer)
     syms = x.reshape(-1)                                 # RE-major, layer-minor
     nvs = out_nv.reshape(-1)
-    llr = demodulate(syms[None], nvs[None], cfg.modulation)
+    with jax.named_scope("demodulate"):
+        llr = demodulate(syms[None], nvs[None], cfg.modulation)
     c_init = (cfg.rnti << 15) + cfg.n_id
-    llr = descramble_llrs(llr, c_init)[0]
+    with jax.named_scope("descramble"):
+        llr = descramble_llrs(llr, c_init)[0]
     return llr, est
 
 
@@ -298,9 +303,10 @@ def decode_from_llrs(llr: jnp.ndarray, est, cfg: PuschConfig,
     seg = segment_tb(cfg.tbs, bg)
     e_sizes = _cb_rate_match_sizes(llr.shape[0], seg.nof_codeblocks, qm,
                                    cfg.nof_layers)
-    res = sch_decoder.decode(llr, seg, e_sizes, cfg.rv, qm, cfg.tbs,
-                             soft_buffer=soft_buffer,
-                             nof_iterations=nof_iterations)
+    with jax.named_scope("sch_decode"):
+        res = sch_decoder.decode(llr, seg, e_sizes, cfg.rv, qm, cfg.tbs,
+                                 soft_buffer=soft_buffer,
+                                 nof_iterations=nof_iterations)
     return PuschResult(tb_bits=res.tb_bits, tb_crc_ok=res.tb_crc_ok,
                        cb_crc_ok=res.cb_crc_ok, new_soft=res.new_soft,
                        csi=est, evm_proxy=jnp.mean(jnp.abs(llr)), **uci_out)
