@@ -80,13 +80,39 @@ def _conv1d(x: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...nk,k->...n", windows, kern)
 
 
+def _td_weights(dmrs_idx, nof_symbols: int):
+    """Per-OFDM-symbol (slice index, weight) for time-domain linear
+    interpolation between DM-RS symbols, with edge extrapolation
+    (port_channel_estimator_average_impl.cpp:520-567).  Host-side: the
+    DM-RS pattern is static per slot plan."""
+    d = np.asarray(dmrs_idx, dtype=np.int64)
+    i0 = np.zeros(nof_symbols, np.int32)
+    w = np.zeros(nof_symbols, np.float32)
+    if len(d) < 2:
+        return i0, w                       # single DM-RS symbol: replicate
+    for s in range(nof_symbols):
+        prev = d[d < s]
+        nxt = d[d >= s]
+        if len(prev) == 0:                 # before the first DM-RS: use the
+            before, after = d[0], d[1]     # first two (extrapolate)
+        elif len(nxt) == 0:                # after the last DM-RS: use the
+            before, after = d[-2], d[-1]   # last two (extrapolate)
+        else:
+            before, after = prev[-1], nxt[0]
+        i0[s] = int(np.searchsorted(d, before))
+        w[s] = (s - before) / float(after - before)
+    return i0, w
+
+
 def estimate(rx_pilots: jnp.ndarray, expected: jnp.ndarray,
              pilot_scs: np.ndarray, nof_sc: int, nof_symbols: int,
              scs_hz: float, stride: int = 2,
              smoothing: str = "filter",
              beta_scaling: float = 1.0,
              estimate_cfo: bool = True,
-             dmrs_symbol_times_s: np.ndarray | None = None) -> ChannelEstimate:
+             dmrs_symbol_times_s: np.ndarray | None = None,
+             td_strategy: str = "average",
+             dmrs_symbol_idx: np.ndarray | None = None) -> ChannelEstimate:
     """Estimate the channel for one allocation hop.
 
     rx_pilots: complex64 [P, S_dmrs, K_p] received REs at pilot positions.
@@ -132,12 +158,24 @@ def estimate(rx_pilots: jnp.ndarray, expected: jnp.ndarray,
     # Time alignment: IDFT power peak over the pilot comb.
     ta = _time_alignment(ls_avg, pilot_scs, nof_sc, scs_hz, stride)
 
-    # Interpolate to the full subcarrier lattice (linear), replicate in time.
-    coeffs_f = _interp_freq(filtered, pilot_scs, nof_sc)            # [P, L, nsc]
-    coeffs = jnp.broadcast_to(coeffs_f[:, :, None, :],
-                              (p, l, nof_symbols, nof_sc)).astype(jnp.complex64)
-    if estimate_cfo and dmrs_symbol_times_s is not None:
-        pass  # per-symbol CFO re-rotation applied by the caller if desired
+    # Interpolate to the full subcarrier lattice (linear), then across time:
+    # 'average' replicates the symbol-averaged estimate; 'interpolate' blends
+    # adjacent per-DM-RS-symbol estimates per OFDM symbol
+    # (port_channel_estimator_td_interpolation_strategy).
+    if td_strategy == "interpolate" and dmrs_symbol_idx is not None \
+            and ls.shape[2] >= 2:
+        filtered_sym = _smooth(ls, smoothing, stride)       # [P, L, S, K_p]
+        f_sym = _interp_freq(filtered_sym, pilot_scs, nof_sc)  # [P, L, S, nsc]
+        i0, w = _td_weights(dmrs_symbol_idx, nof_symbols)
+        i0j = jnp.asarray(i0)
+        wj = jnp.asarray(w)[None, None, :, None].astype(jnp.float32)
+        coeffs = (f_sym[:, :, i0j, :] * (1.0 - wj)
+                  + f_sym[:, :, i0j + 1, :] * wj).astype(jnp.complex64)
+    else:
+        coeffs_f = _interp_freq(filtered, pilot_scs, nof_sc)        # [P, L, nsc]
+        coeffs = jnp.broadcast_to(coeffs_f[:, :, None, :],
+                                  (p, l, nof_symbols, nof_sc)
+                                  ).astype(jnp.complex64)
     return ChannelEstimate(coeffs=coeffs, noise_var=noise_var, rsrp=rsrp,
                            epre=epre, snr=snr, time_alignment_s=ta, cfo_hz=cfo)
 

@@ -56,6 +56,10 @@ class PuschConfig:
     numerology: int = 0
     reserved_cdm_groups: int = 2
     equalizer: str = "zf"      # 'zf' | 'mmse' (mmse only 1 layer)
+    # time-domain channel interpolation between DM-RS symbols
+    # (port_channel_estimator_td_interpolation_strategy): 'average' |
+    # 'interpolate'
+    td_interpolation: str = "average"
     uci: UciOnPuschConfig = UciOnPuschConfig()
     transform_precoding: bool = False  # DFT-s-OFDM (single layer only)
     # Intra-slot frequency hopping (TS38.214 §6.3): PRB start of the second
@@ -166,7 +170,9 @@ def estimate_channel(grid: jnp.ndarray, cfg: PuschConfig,
     return chest.estimate(
         rx_pilots, expected, pilot_rel, cfg.rb_count * 12, 14,
         float(scs), stride=2, smoothing="filter",
-        dmrs_symbol_times_s=times[np.asarray(cfg.dmrs_symbols)])
+        dmrs_symbol_times_s=times[np.asarray(cfg.dmrs_symbols)],
+        td_strategy=cfg.td_interpolation,
+        dmrs_symbol_idx=np.asarray(cfg.dmrs_symbols))
 
 
 def _frontend_hop(grid: jnp.ndarray, cfg: PuschConfig, dmrs_cinits=None):
