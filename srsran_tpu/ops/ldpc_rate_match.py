@@ -67,6 +67,53 @@ def rate_match(codeword: jnp.ndarray, e: int, rv: int, qm: int,
     return jnp.take(codeword, plan, axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _tb_plan(e_sizes: tuple, rv: int, qm: int, base_graph: int, z: int,
+             k_prime: int, k: int, n: int, n_ref: int = 0) -> np.ndarray:
+    """Flat [G] index plan over a whole transport block: output bit g of the
+    concatenated codeword maps to flat position (cb * N + buffer_idx).
+
+    This collapses the per-codeblock rate-match loop into ONE device gather
+    (TX) / segment scatter-add (RX) — the per-CB thread fan-out of
+    pdsch_processor_flexible_impl becomes a single indexed move."""
+    n_cb = min(n_ref, n) if n_ref else n
+    k0 = rate_match_k0(base_graph, rv, n_cb, z)
+    parts = []
+    for j, e in enumerate(e_sizes):
+        sel = _selection_indices(e, k0, n_cb, k_prime - 2 * z, k - 2 * z)
+        perm = _interleave_perm(e, qm)
+        parts.append(sel[perm].astype(np.int64) + j * n)
+    return np.concatenate(parts)
+
+
+def rate_match_batch(codewords: jnp.ndarray, e_sizes, rv: int, qm: int,
+                     base_graph: int, z: int, k_prime: int, k: int,
+                     n_ref: int = 0) -> jnp.ndarray:
+    """Rate-match all codeblocks of a TB in one gather.
+
+    codewords: int8 [C, N] -> int8 [G = sum(e_sizes)]."""
+    c, n = codewords.shape
+    plan = _tb_plan(tuple(e_sizes), rv, qm, base_graph, z, k_prime, k, n,
+                    n_ref)
+    return jnp.take(codewords.reshape(-1), jnp.asarray(plan))
+
+
+def rate_dematch_batch(llrs: jnp.ndarray, nof_codeblocks: int, e_sizes,
+                       rv: int, qm: int, base_graph: int, z: int,
+                       k_prime: int, k: int, n: int, n_ref: int = 0,
+                       filler_llr: float = 1e4) -> jnp.ndarray:
+    """Inverse of rate_match_batch: f32 [G] -> f32 [C, N] with LLR
+    accumulation on repetitions and known-zero filler LLRs."""
+    plan = _tb_plan(tuple(e_sizes), rv, qm, base_graph, z, k_prime, k, n,
+                    n_ref)
+    buf = jnp.zeros((nof_codeblocks * n,), dtype=llrs.dtype)
+    buf = buf.at[jnp.asarray(plan)].add(llrs).reshape(nof_codeblocks, n)
+    fs, fe = k_prime - 2 * z, k - 2 * z
+    if fe > fs:
+        buf = buf.at[:, fs:fe].set(filler_llr)
+    return buf
+
+
 def rate_dematch(llrs: jnp.ndarray, rv: int, qm: int,
                  base_graph: int, z: int, k_prime: int, k: int,
                  n: int, n_ref: int = 0,

@@ -120,11 +120,9 @@ def encode_transport_block(payload_bits: jnp.ndarray, cfg: PdschConfig):
     code = ldpc_encode.encode(cbs_full, bg, z)                      # [C, NV*Z]
     tx_buf = code[:, 2 * z:]                                        # [C, N]
     e_sizes = _cb_rate_match_sizes(g_total, c, qm, cfg.nof_layers)
-    outs = []
-    for j in range(c):
-        outs.append(ldpc_rate_match.rate_match(
-            tx_buf[j:j + 1], e_sizes[j], cfg.rv, qm, bg, z, k_prime, k)[0])
-    return jnp.concatenate(outs, axis=-1), seg
+    codeword = ldpc_rate_match.rate_match_batch(
+        tx_buf, e_sizes, cfg.rv, qm, bg, z, k_prime, k)             # [G]
+    return codeword, seg
 
 
 def dmrs_config(cfg: PdschConfig) -> DmrsConfig:

@@ -27,14 +27,6 @@ class SchDecodeResult:
     new_soft: jnp.ndarray       # f32 [C, N] combined LLRs (HARQ buffer state)
 
 
-def _split_llrs(llrs: jnp.ndarray, e_sizes: list) -> list:
-    outs, pos = [], 0
-    for e in e_sizes:
-        outs.append(llrs[pos:pos + e])
-        pos += e
-    return outs
-
-
 def decode(llrs: jnp.ndarray, seg: SegmentParams, e_sizes: list, rv: int,
            qm: int, tbs: int, soft_buffer: jnp.ndarray | None = None,
            nof_iterations: int = 6) -> SchDecodeResult:
@@ -44,12 +36,8 @@ def decode(llrs: jnp.ndarray, seg: SegmentParams, e_sizes: list, rv: int,
     """
     bg, z, c = seg.base_graph, seg.lifting_size, seg.nof_codeblocks
     k_prime, k, n = seg.cb_info_bits, seg.full_block_bits, seg.codeword_bits
-    per_cb = _split_llrs(llrs, e_sizes)
-    dematched = []
-    for j in range(c):
-        dematched.append(ldpc_rate_match.rate_dematch(
-            per_cb[j][None], rv, qm, bg, z, k_prime, k, n)[0])
-    buf = jnp.stack(dematched)                                  # [C, N]
+    buf = ldpc_rate_match.rate_dematch_batch(
+        llrs, c, e_sizes, rv, qm, bg, z, k_prime, k, n)         # [C, N]
     if soft_buffer is not None:
         buf = buf + soft_buffer
     full = jnp.concatenate(

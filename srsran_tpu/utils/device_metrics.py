@@ -59,19 +59,31 @@ def _load_trace_events(log_dir: str) -> list:
     for path in glob.glob(log_dir + "/**/*.trace.json.gz", recursive=True):
         data = json.loads(gzip.open(path).read())
         evs.extend(e for e in data.get("traceEvents", [])
-                   if e.get("ph") == "X" and "hlo_op" in e.get("args", {}))
+                   if e.get("ph") == "X")
     return evs
 
 
 def aggregate(events: list, scopes: dict) -> dict:
-    """Sum device durations per scope: {scope: {"time_us", "ops", "calls"}}."""
+    """Sum device durations per scope: {scope: {"time_us", "ops", "calls"}}.
+
+    CPU traces tag device ops with args.hlo_op; TPU traces (tunnelled xplane)
+    carry the HLO instruction name as the event name with no args — both are
+    matched against the compiled module's scope map.  Events whose name does
+    not resolve to an HLO instruction (host-side spans) are dropped.
+    """
     agg: dict = {}
     for e in events:
-        op = e["args"]["hlo_op"]
+        op = e.get("args", {}).get("hlo_op") or e.get("name", "")
+        if not op or op.startswith(("end:", "$")):
+            continue
         scope = scopes.get(op)
         if scope is None:
             # fusion sub-ops appear as "fusion.N" variants; retry the stem
-            scope = scopes.get(op.split(".")[0], "<other>")
+            scope = scopes.get(op.split(".")[0])
+        if scope is None:
+            if "hlo_op" not in e.get("args", {}):
+                continue  # unmatched host event
+            scope = "<other>"
         a = agg.setdefault(scope, {"time_us": 0.0, "ops": set(), "calls": 0})
         a["time_us"] += float(e.get("dur", 0.0))
         a["ops"].add(op)

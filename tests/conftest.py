@@ -31,6 +31,25 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables at module boundaries.
+
+    The full suite compiles hundreds of XLA:CPU programs in one process;
+    past ~140 tests a further compile segfaults inside
+    backend_compile_and_load (accumulated JIT state; reproducible at
+    test_pusch_two_layers when the whole suite runs in order, while any
+    half of the suite passes).  Dropping the executable caches between
+    modules keeps the process comfortably below the cliff.
+    """
+    yield
+    import jax
+    jax.clear_caches()
+
+
 def pytest_configure(config):
     if not _NEEDS_REEXEC:
         return
