@@ -20,11 +20,28 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .ldpc_graph import get_graph
 
 DEFAULT_SCALING = 0.8
 DEFAULT_MAX_ITER = 6
+
+
+@functools.lru_cache(maxsize=None)
+def _layer_gather_indices(base_graph: int, z: int, nof_layers: int):
+    """Per-layer flat gather indices: layer r reads its d_r lifted columns
+    with the cyclic shifts folded in as ONE index plan [d_r * Z] into the
+    flat [nof_cols * Z] LLR vector.  The same plan scatters the updated
+    soft bits back (each column appears at most once per row in the 3GPP
+    base graphs, so the scatter is a plain set)."""
+    g = get_graph(base_graph, z)
+    plans = []
+    for row in g.rows[:nof_layers]:
+        j = np.arange(z)
+        idx = np.concatenate([c * z + (j + s) % z for c, s in row])
+        plans.append(idx.astype(np.int32))
+    return plans
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
@@ -36,12 +53,19 @@ def decode(llrs: jnp.ndarray, base_graph: int, z: int,
     llrs: f32 [B, NV*Z].  nof_layers: active check layers (0 = all, the
     reference adapts this to the received length, ldpc_decoder_impl.cpp:117).
     Returns (bits int8 [B, NV*Z] hard decisions, soft f32 [B, NV*Z]).
+
+    Layout: the whole layer update is one gather + minsum + one scatter on
+    [B, d*Z] blocks — the lifted shifts live inside the precomputed index
+    plans, so no per-edge rolls appear in the program (the reference's SIMD
+    rotate-and-process loop, ldpc_decoder_avx512.cpp, becomes two indexed
+    moves per layer).
     """
     g = get_graph(base_graph, z)
     nrows = nof_layers if nof_layers > 0 else g.nof_rows
     rows = g.rows[:nrows]
+    plans = _layer_gather_indices(base_graph, z, nrows)
     batch = llrs.shape[0]
-    llr0 = llrs.reshape(batch, g.nof_cols, z).astype(jnp.float32)
+    llr0 = llrs.reshape(batch, g.nof_cols * z).astype(jnp.float32)
 
     max_d = max(len(r) for r in rows)
     c2v0 = jnp.zeros((batch, nrows, max_d, z), dtype=jnp.float32)
@@ -50,9 +74,8 @@ def decode(llrs: jnp.ndarray, base_graph: int, z: int,
         llr, c2v = carry
         for r, row in enumerate(rows):
             d = len(row)
-            v = jnp.stack(
-                [jnp.roll(llr[:, c], -s, axis=-1) if s else llr[:, c]
-                 for c, s in row], axis=1)                       # [B, d, Z]
+            plan = jnp.asarray(plans[r])
+            v = llr[:, plan].reshape(batch, d, z)                 # [B, d, Z]
             t = v - c2v[:, r, :d]
             abs_t = jnp.abs(t)
             min1 = jnp.min(abs_t, axis=1, keepdims=True)          # [B, 1, Z]
@@ -65,9 +88,7 @@ def decode(llrs: jnp.ndarray, base_graph: int, z: int,
             edge_sign = jnp.logical_xor(sgn_prod, neg)            # sign excl. own edge
             new = scaling * jnp.where(edge_sign, -mag, mag)
             vnew = t + new
-            for i, (c, s) in enumerate(row):
-                upd = jnp.roll(vnew[:, i], s, axis=-1) if s else vnew[:, i]
-                llr = llr.at[:, c].set(upd)
+            llr = llr.at[:, plan].set(vnew.reshape(batch, d * z))
             c2v = c2v.at[:, r, :d].set(new)
         return llr, c2v
 
