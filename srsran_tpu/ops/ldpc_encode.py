@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .ldpc_graph import LdpcGraph, get_graph
 
@@ -30,24 +31,47 @@ def _roll(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     return jnp.roll(x, -shift, axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _row_sum_plan(base_graph: int, z: int, rows: tuple, col_limit: int):
+    """[len(rows), max_d, Z] gather plan: row edges with their circulant
+    shifts folded in; padding points at a zero slot appended at col_limit."""
+    g = get_graph(base_graph, z)
+    j = np.arange(z)
+    sel = [[c * z + (j + s) % z for c, s in g.rows[r] if c < col_limit]
+           for r in rows]
+    max_d = max(len(s) for s in sel)
+    pad = col_limit * z + j
+    plan = np.stack([np.concatenate(s + [pad] * (max_d - len(s)))
+                     for s in sel])
+    return plan.reshape(len(rows), max_d, z).astype(np.int32)
+
+
+def _row_sums(flat_with_zero: jnp.ndarray, plan: np.ndarray) -> jnp.ndarray:
+    """XOR-reduce each row's gathered edges: [B, R, Z] parities."""
+    v = flat_with_zero[:, jnp.asarray(plan)]           # [B, R, max_d, Z]
+    return (jnp.sum(v.astype(jnp.int32), axis=2) & 1).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def encode(bits: jnp.ndarray, base_graph: int, z: int) -> jnp.ndarray:
-    """Encode a batch of codeblocks.  bits int8 [B, K] -> int8 [B, NV*Z]."""
+    """Encode a batch of codeblocks.  bits int8 [B, K] -> int8 [B, NV*Z].
+
+    Every lifted-circulant product is an index-plan gather (shift folded
+    into the indices); each check row's XOR is a popcount-parity reduce —
+    the whole encoder is two gathers + two reduces + the core solve.
+    """
     g = get_graph(base_graph, z)
     kb = g.nof_info_cols
     batch = bits.shape[0]
     assert bits.shape[1] == kb * z, (bits.shape, kb, z)
     info = bits.reshape(batch, kb, z).astype(jnp.uint8)
 
-    # s[r] = sum over info-column contributions of core row r.
-    def info_sum(r):
-        acc = jnp.zeros((batch, z), dtype=jnp.uint8)
-        for col, shift in g.rows[r]:
-            if col < kb:
-                acc = acc ^ _roll(info[:, col], shift)
-        return acc
-
-    core_sums = [info_sum(r) for r in range(4)]
+    # Core rows 0..3: XOR of info-column contributions, one gather+reduce.
+    zero = jnp.zeros((batch, z), dtype=jnp.uint8)
+    info_flat = jnp.concatenate([info.reshape(batch, kb * z), zero], axis=1)
+    core_plan = _row_sum_plan(base_graph, z, (0, 1, 2, 3), kb)
+    cs = _row_sums(info_flat, core_plan)                       # [B, 4, Z]
+    core_sums = [cs[:, r] for r in range(4)]
 
     # Solve p0: summing the four core rows cancels the double-diagonal
     # (p1..p3 each appear twice with shift 0).  p0's contributions
@@ -84,17 +108,17 @@ def encode(bits: jnp.ndarray, base_graph: int, z: int) -> jnp.ndarray:
     known = jnp.concatenate([info, core], axis=1)              # [B, kb+4, Z]
 
     # Extension parities: row r >= 4 involves info/core-parity columns plus
-    # one extension parity (column kb+r) with shift 0.
-    ext = []
+    # one extension parity (column kb+r, shift 0) — all rows in one
+    # gather+reduce.
     for r in range(4, g.nof_rows):
-        acc = jnp.zeros((batch, z), dtype=jnp.uint8)
-        for col, shift in g.rows[r]:
-            if col < kb + 4:
-                acc = acc ^ _roll(known[:, col], shift)
-            else:
-                assert col == kb + r and shift == 0, (r, col, shift)
-        ext.append(acc)
-    full = jnp.concatenate([known] + [e[:, None] for e in ext], axis=1)
+        own = [(c, s) for c, s in g.rows[r] if c >= kb + 4]
+        assert own == [(kb + r, 0)], (r, own)
+    known_flat = jnp.concatenate([known.reshape(batch, (kb + 4) * z), zero],
+                                 axis=1)
+    ext_plan = _row_sum_plan(base_graph, z, tuple(range(4, g.nof_rows)),
+                             kb + 4)
+    ext = _row_sums(known_flat, ext_plan)                      # [B, R-4, Z]
+    full = jnp.concatenate([known, ext], axis=1)
     return full.reshape(batch, g.nof_cols * z).astype(jnp.int8)
 
 
