@@ -33,7 +33,10 @@ import jax
 class ChannelEstimate:
     """Per-(rx_port, layer) results over one allocation (a JAX pytree)."""
 
-    coeffs: jnp.ndarray      # complex64 [P, L, nsym, nsc] channel per RE
+    # complex64 [P, L, S, nsc] channel per RE.  S == nof_symbols for the
+    # 'interpolate' time strategy; S == 1 for 'average' (time-constant —
+    # consumers index [:, :, 0] instead of forcing a broadcast through HBM).
+    coeffs: jnp.ndarray
     noise_var: jnp.ndarray   # f32 [P]
     rsrp: jnp.ndarray        # f32 [P]
     epre: jnp.ndarray        # f32 [P]
@@ -173,9 +176,7 @@ def estimate(rx_pilots: jnp.ndarray, expected: jnp.ndarray,
                   + f_sym[:, :, i0j + 1, :] * wj).astype(jnp.complex64)
     else:
         coeffs_f = _interp_freq(filtered, pilot_scs, nof_sc)        # [P, L, nsc]
-        coeffs = jnp.broadcast_to(coeffs_f[:, :, None, :],
-                                  (p, l, nof_symbols, nof_sc)
-                                  ).astype(jnp.complex64)
+        coeffs = coeffs_f[:, :, None, :].astype(jnp.complex64)      # S == 1
     return ChannelEstimate(coeffs=coeffs, noise_var=noise_var, rsrp=rsrp,
                            epre=epre, snr=snr, time_alignment_s=ta, cfo_hz=cfo)
 

@@ -187,7 +187,10 @@ def _frontend_hop(grid: jnp.ndarray, cfg: PuschConfig, dmrs_cinits=None):
     sym_idx, sc_idx = jnp.asarray(plan[:, 0]), jnp.asarray(plan[:, 1])
     y = grid[:, sym_idx, sc_idx].T                       # [RE, P]
     sc_rel = jnp.asarray(plan[:, 1] - cfg.rb_start * 12)
-    h = est.coeffs[:, :, sym_idx, sc_rel]                # [P, L, RE]
+    if est.coeffs.shape[2] == 1:                         # time-constant est
+        h = est.coeffs[:, :, 0, sc_rel]                  # [P, L, RE]
+    else:
+        h = est.coeffs[:, :, sym_idx, sc_rel]            # [P, L, RE]
     h = jnp.transpose(h, (2, 0, 1))                      # [RE, P, L]
     nv = jnp.mean(est.noise_var)
     with jax.named_scope("equalize"):

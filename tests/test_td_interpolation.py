@@ -57,9 +57,9 @@ def test_interpolate_tracks_time_variation():
 
 def test_average_unchanged_for_static_channel():
     phases = np.full(14, 0.3)
-    ci, h = _run("interpolate", phases)
-    ca, _ = _run("average", phases)
-    np.testing.assert_allclose(ci, ca, atol=1e-5)
+    ci, h = _run("interpolate", phases)       # [14, nsc]
+    ca, _ = _run("average", phases)           # [1, nsc] (time-constant)
+    np.testing.assert_allclose(ci, np.broadcast_to(ca, ci.shape), atol=1e-5)
 
 
 def test_pusch_decodes_with_interpolate_strategy():
