@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--remote-port", type=int, default=-1,
                     help="enable the remote-control WebSocket JSON server "
                          "on this port (0 = ephemeral)")
+    ap.add_argument("--pcap", default="",
+                    help="capture FAPI slot messages to this pcap file")
     args = ap.parse_args()
 
     from srsran_tpu.utils import config as config_mod
@@ -56,7 +58,11 @@ def main():
           f"{cfg.nof_slots} slots on {jax.devices()[0]}")
 
     mac = TestModeMac(cfg.cell, cfg.phys_cell_id, cfg.ues, cfg.tdd, cfg.seed)
-    cond = SlotConductor(cfg.cell)
+    fapi_pcap = None
+    if args.pcap:
+        from srsran_tpu.utils.pcap import FapiPcap
+        fapi_pcap = FapiPcap(args.pcap)
+    cond = SlotConductor(cfg.cell, pcap=fapi_pcap)
     m_dl = registry.block("dl_slot")
     m_ul = registry.block("ul_slot")
 
@@ -110,6 +116,9 @@ def main():
     elapsed = time.monotonic() - t_start
     if remote is not None:
         remote.stop()
+    if fapi_pcap is not None:
+        fapi_pcap.close()
+        print(f"FAPI pcap written to {args.pcap}")
 
     print(f"done: {cfg.nof_slots} slots in {elapsed:.2f}s "
           f"({cfg.nof_slots / elapsed:.0f} slots/s wall; "

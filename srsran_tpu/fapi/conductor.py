@@ -96,10 +96,14 @@ class SlotConductor:
     """One cell's PHY driver.  Thread-free: slot pipelining comes from JAX's
     async dispatch (launch slot N+1 while N still runs on device)."""
 
-    def __init__(self, cell: CellConfig, validate: bool = True):
+    def __init__(self, cell: CellConfig, validate: bool = True,
+                 pcap=None):
         self.cell = cell
         self.harq_pool = HarqBufferPool()
         self.validate = validate
+        # optional utils.pcap.FapiPcap: capture slot messages + indications
+        # (the reference's FAPI logging decorator / pcap writers)
+        self.pcap = pcap
 
     # ---------------------------------------------------------------- DL
 
@@ -114,6 +118,9 @@ class SlotConductor:
             from .validators import validate_dl_tti, validate_tx_data
             validate_dl_tti(dl_tti, self.cell)
             validate_tx_data(tx_data, dl_tti)
+        if self.pcap is not None:
+            self.pcap.capture("dl_tti", dl_tti)
+            self.pcap.capture("tx_data", tx_data)
         slot_in_sf = dl_tti.slot.subframe_slot_index
         plan, ctx = normalize_dl_plan(dl_tti)
         fn = dl_slot_fn(self.cell, plan, slot_in_sf)
@@ -137,6 +144,8 @@ class SlotConductor:
         if self.validate:
             from .validators import validate_ul_tti
             validate_ul_tti(ul_tti, self.cell)
+        if self.pcap is not None:
+            self.pcap.capture("ul_tti", ul_tti)
         slot_in_sf = ul_tti.slot.subframe_slot_index
         plan, ctx = normalize_ul_plan(ul_tti)
         fn = ul_slot_fn(self.cell, plan, slot_in_sf)
@@ -181,4 +190,6 @@ class SlotConductor:
                 res.rach.append(RachIndicationPreamble(
                     preamble_index=int(idx), timing_advance_s=float(tas[idx]),
                     metric=float(mets[idx])))
+        if self.pcap is not None:
+            self.pcap.capture("slot_results", res)
         return res
