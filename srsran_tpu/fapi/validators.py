@@ -92,9 +92,9 @@ def validate_ul_tti(ul: UlTtiRequest, cell: CellConfig):
     for p in ul.pusch:
         _check_alloc("pusch", cell, p.rb_start, p.rb_count, p.first_symbol,
                      p.nof_symbols)
-        _check(1 <= p.nof_layers <= 2, "pusch: 1..2 layers (ZF cap)")
-        _check(not (p.equalizer == "mmse" and p.nof_layers > 1),
-               "pusch: MMSE supports a single layer")
+        _check(1 <= p.nof_layers <= 4,
+               "pusch: 1..4 layers (beyond the reference's 1-layer cap, "
+               "pusch_processor_phy_capabilities.cpp:29)")
         _check(not (p.transform_precoding and p.nof_layers > 1),
                "pusch: transform precoding is single-layer")
     _check(not ul.pusch_harq or len(ul.pusch_harq) == len(ul.pusch),

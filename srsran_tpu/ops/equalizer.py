@@ -1,4 +1,4 @@
-"""Channel equalizer: ZF / MMSE for 1-2 layers x N rx ports.
+"""Channel equalizer: ZF / MMSE for 1-4 layers x N rx ports.
 
 TPU-native replacement for channel_equalizer_generic_impl
 (lib/phy/upper/equalization/channel_equalizer_generic_impl.cpp:100-190,
@@ -80,9 +80,49 @@ def equalize_zf_2xn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
     return x, out_nv
 
 
+def equalize_lxn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
+                 method: str = "zf", tx_scaling: float = 1.0):
+    """General L layers x N ports ZF/MMSE via batched Gram solves.
+
+    BEYOND the reference: its generic equalizer stubs out 3x4/4x4 ZF and
+    multi-layer MMSE (channel_equalizer_generic_impl.cpp:190-271); here
+    every RE solves (H^H H + c I) x = H^H y with c = 0 (ZF) or noise/beta^2
+    (MMSE), batched over the slot on the MXU-friendly [RE, L, L] Grams.
+    Per-layer output noise follows the inverse Gram diagonal.
+
+    y [..., P]; h [..., P, L]; noise_var [...] or [..., P].
+    Returns (x [..., L], eq_noise_var [..., L]).
+    """
+    if noise_var.ndim == y.ndim:
+        nv = jnp.mean(noise_var, axis=-1)
+    else:
+        nv = noise_var
+    nof_layers = h.shape[-1]
+    gram = jnp.einsum("...pl,...pm->...lm", jnp.conj(h), h)
+    z = jnp.einsum("...pl,...p->...l", jnp.conj(h), y)
+    eye = jnp.eye(nof_layers, dtype=gram.dtype)
+    ridge = (nv[..., None, None] / (tx_scaling ** 2)) * eye \
+        if method == "mmse" else 1e-9 * eye
+    a = gram + ridge
+    a_inv = jnp.linalg.inv(a)
+    x = jnp.einsum("...lm,...m->...l", a_inv, z) / tx_scaling
+    diag_inv = jnp.real(jnp.einsum("...ll->...l", a_inv))
+    if method == "mmse":
+        # unbiased-equivalent noise: nv * [A^-1 G A^-1]_ll
+        gi = jnp.einsum("...lm,...mn,...nk->...lk", a_inv, gram, a_inv)
+        diag_eff = jnp.real(jnp.einsum("...ll->...l", gi))
+    else:
+        diag_eff = diag_inv
+    out_nv = nv[..., None] * diag_eff / (tx_scaling ** 2)
+    out_nv = jnp.where(diag_eff <= 0, 1e12, out_nv)
+    return x.astype(jnp.complex64), out_nv.astype(jnp.float32)
+
+
 def equalize(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
              nof_layers: int, method: str = "zf", tx_scaling: float = 1.0):
-    """Dispatch like channel_equalizer_generic_impl.cpp:100-190.
+    """Dispatch like channel_equalizer_generic_impl.cpp:100-190, extended:
+    the reference implements ZF for 1-2 layers and MMSE for 1 and stubs the
+    rest; layers 2 (MMSE) through 4 here use the general batched solver.
 
     y [..., P]; h [..., P, L]; returns (x [..., L], nv [..., L]).
     """
@@ -90,7 +130,8 @@ def equalize(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
         fn = equalize_mmse_1xn if method == "mmse" else equalize_zf_1xn
         x, nv = fn(y, h[..., 0], noise_var, tx_scaling)
         return x[..., None], nv[..., None]
-    if nof_layers == 2:
-        assert method == "zf", "MMSE supports a single layer (reference parity)"
+    if nof_layers == 2 and method == "zf":
         return equalize_zf_2xn(y, h, noise_var, tx_scaling)
-    raise NotImplementedError("3-4 layer UL equalization (stub in reference too)")
+    if 2 <= nof_layers <= 4:
+        return equalize_lxn(y, h, noise_var, method, tx_scaling)
+    raise NotImplementedError(f"{nof_layers}-layer equalization")

@@ -144,9 +144,31 @@ def dmrs_config(cfg: PuschConfig) -> DmrsConfig:
 
 def estimate_channel(grid: jnp.ndarray, cfg: PuschConfig,
                      dmrs_cinits=None) -> chest.ChannelEstimate:
-    """Estimate [P, L, nsym_slot, nsc_alloc] channel from DM-RS."""
+    """Estimate [P, L, nsym_slot, nsc_alloc] channel from DM-RS.
+
+    Layers 1-2 ride DM-RS type-1 CDM group 0 (delta 0); layers 3-4 add CDM
+    group 1 (delta 1), estimated separately and concatenated on the layer
+    axis (beyond the reference, whose PUSCH caps at 1 layer)."""
+    if cfg.nof_layers > 2:
+        e0 = _estimate_group(grid, cfg, dmrs_cinits, (0, 1), 0)
+        e1 = _estimate_group(grid, cfg, dmrs_cinits,
+                             tuple(range(2, cfg.nof_layers)), 1)
+        nv = (e0.noise_var + e1.noise_var) / 2
+        rsrp = (e0.rsrp + e1.rsrp) / 2
+        return chest.ChannelEstimate(
+            coeffs=jnp.concatenate([e0.coeffs, e1.coeffs], axis=1),
+            noise_var=nv, rsrp=rsrp, epre=(e0.epre + e1.epre) / 2,
+            snr=rsrp / jnp.maximum(nv, 1e-12),
+            time_alignment_s=(e0.time_alignment_s + e1.time_alignment_s) / 2,
+            cfo_hz=(e0.cfo_hz + e1.cfo_hz) / 2)
+    return _estimate_group(grid, cfg, dmrs_cinits,
+                           tuple(range(cfg.nof_layers)), 0)
+
+
+def _estimate_group(grid: jnp.ndarray, cfg: PuschConfig, dmrs_cinits,
+                    ports: tuple, delta: int) -> chest.ChannelEstimate:
+    """Single-CDM-group estimate for the given DM-RS ports."""
     dmrs_cfg = dmrs_config(cfg)
-    delta = 0  # all supported layer counts (<=2) use CDM group 0 comb
     sc_abs = _type1_sc_indices(cfg.rb_start, cfg.rb_count, delta)
     rx_pilots = grid[:, jnp.asarray(np.asarray(cfg.dmrs_symbols)), :][:, :, jnp.asarray(sc_abs)]
     if cfg.transform_precoding:
@@ -159,7 +181,7 @@ def estimate_channel(grid: jnp.ndarray, cfg: PuschConfig,
             seq, (1, len(cfg.dmrs_symbols), 6 * cfg.rb_count)).astype(jnp.complex64)
     else:
         expected = jnp.stack([pilots_for_port(dmrs_cfg, p, dmrs_cinits)
-                              for p in range(cfg.nof_layers)])      # [L, S, K]
+                              for p in ports])                      # [L, S, K]
     # symbol start times for CFO estimation
     lens = cp_lengths(CyclicPrefix.NORMAL, cfg.numerology, 2048)
     scs = 15_000 << cfg.numerology
