@@ -85,6 +85,8 @@ def main():
         remote.start()
         print(f"remote control listening on ws://127.0.0.1:{remote.port}")
 
+    from srsran_tpu.utils import resource_usage
+    usage0 = resource_usage.snapshot()
     crc_ok = crc_fail = dl_slots = ul_slots = 0
     t_start = time.monotonic()
     for count in range(cfg.nof_slots):
@@ -128,6 +130,7 @@ def main():
         if s.get("count"):
             print(f"  {s['name']}: avg {s['lat_us_avg']:.0f}us "
                   f"p99 {s['lat_us_p99']:.0f}us max {s['lat_us_max']:.0f}us")
+    print(f"resource usage: {resource_usage.diff(usage0, resource_usage.snapshot())}")
     if args.trace:
         tracing.app_tracer.dump(args.trace)
         print(f"trace written to {args.trace}")
