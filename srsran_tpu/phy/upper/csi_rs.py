@@ -48,7 +48,9 @@ _CDM_TABLES = {
 }
 
 # Row → (nof_ports, cdm type, nof k_ref, allowed densities).  Rows 1-12 per
-# csi_rs_pattern.cpp (mapping_row_1..12); default density first.
+# csi_rs_pattern.cpp (mapping_row_1..12); default density first.  Rows
+# 13-18 complete TS38.211 Table 7.4.1.5.3-1 (24/32 ports) — BEYOND the
+# reference, which asserts row <= 12 (csi_rs_pattern.cpp:449).
 _ROWS = {
     1: (1, "no_CDM", 1, ("three",)),
     2: (1, "no_CDM", 1, ("one", "dot5_even", "dot5_odd")),
@@ -62,6 +64,12 @@ _ROWS = {
     10: (12, "cdm4_FD2_TD2", 3, ("one",)),
     11: (16, "fd_CDM2", 4, ("one", "dot5_even", "dot5_odd")),
     12: (16, "cdm4_FD2_TD2", 4, ("one",)),
+    13: (24, "fd_CDM2", 3, ("one", "dot5_even", "dot5_odd")),
+    14: (24, "cdm4_FD2_TD2", 3, ("one", "dot5_even", "dot5_odd")),
+    15: (24, "cdm8_FD2_TD4", 3, ("one", "dot5_even", "dot5_odd")),
+    16: (32, "fd_CDM2", 4, ("one", "dot5_even", "dot5_odd")),
+    17: (32, "cdm4_FD2_TD2", 4, ("one", "dot5_even", "dot5_odd")),
+    18: (32, "cdm8_FD2_TD4", 4, ("one", "dot5_even", "dot5_odd")),
 }
 
 
@@ -73,10 +81,11 @@ def nof_csi_rs_ports(row: int) -> int:
 class CsiRsConfig:
     """Static NZP-CSI-RS description (fapi dl_csi_rs_pdu essentials)."""
 
-    row: int                  # 1..12 (Table 7.4.1.5.3-1)
+    row: int                  # 1..18 (Table 7.4.1.5.3-1; reference stops at 12)
     rb_start: int
     rb_count: int
     symbol: int               # l0
+    symbol2: int = -1         # l1, required by rows 13/14/16/17
     k0: int = 0               # first freq-domain allocation reference
     k_ref: tuple = ()         # all k references (defaults to (k0,))
     scrambling_id: int = 0
@@ -100,35 +109,43 @@ class CsiRsConfig:
 
 
 @functools.lru_cache(maxsize=None)
-def _cdm_groups(row: int, k_ref: tuple, l0: int):
+def _cdm_groups(row: int, k_ref: tuple, l0: int, l1: int = -1):
     """[(k_bar, l_bar)] per CDM group + (cdm type, fd size, td size).
 
     Mirrors mapping_row_1..12 (csi_rs_pattern.cpp:34-357); the per-port
-    expansion there collapses to one entry per CDM group here.
+    expansion there collapses to one entry per CDM group here.  Rows 13-18
+    follow TS38.211 Table 7.4.1.5.3-1 directly (not in the reference).
     """
     _, cdm, _, _ = _ROWS[row]
     wf_tab, wt_tab = _CDM_TABLES[cdm]
     fd, td = len(wf_tab[0]), len(wt_tab[0])
     k = list(k_ref)
+    if row in (13, 14, 16, 17) and l1 < 0:
+        raise ValueError(f"CSI-RS row {row} requires symbol2 (l1)")
     if row in (1, 2, 3):
         groups = [(k[0], l0)]
     elif row == 4:
         groups = [(k[0], l0), (k[0] + 2, l0)]
     elif row == 5:
         groups = [(k[0], l0), (k[0], l0 + 1)]
-    elif row in (6, 8, 9, 10, 12):
+    elif row in (6, 8, 9, 10, 12, 15, 18):
         groups = [(kr, l0) for kr in k]
     elif row == 7:
         groups = [(k[g % 2], l0 + g // 2) for g in range(4)]
     elif row == 11:
         groups = [(k[g % 4], l0 + g // 4) for g in range(8)]
+    elif row in (13, 16):
+        groups = [(kr, l) for l in (l0, l0 + 1, l1, l1 + 1) for kr in k]
+    elif row in (14, 17):
+        groups = [(kr, l) for l in (l0, l1) for kr in k]
     else:
-        raise NotImplementedError(f"CSI-RS row {row} (reference supports 1-12)")
+        raise NotImplementedError(f"CSI-RS row {row}")
     return tuple(groups), cdm, fd, td
 
 
 def _used_symbols(cfg: CsiRsConfig) -> list:
-    groups, _, _, td = _cdm_groups(cfg.row, cfg.resolved_k_ref(), cfg.symbol)
+    groups, _, _, td = _cdm_groups(cfg.row, cfg.resolved_k_ref(), cfg.symbol,
+                                   cfg.symbol2)
     return sorted({lb + lp for _, lb in groups for lp in range(td)})
 
 
@@ -191,7 +208,7 @@ def process(grid: jnp.ndarray, cfg: CsiRsConfig, c_init=None,
     ports require an explicit matrix.
     """
     k_ref = cfg.resolved_k_ref()
-    groups, cdm, fd, td = _cdm_groups(cfg.row, k_ref, cfg.symbol)
+    groups, cdm, fd, td = _cdm_groups(cfg.row, k_ref, cfg.symbol, cfg.symbol2)
     wf_tab, wt_tab = _CDM_TABLES[cdm]
     cdm_size = len(wf_tab)
     nof_csi_ports = len(groups) * cdm_size
