@@ -65,6 +65,47 @@ def main():
     rng = np.random.default_rng(0)
     seg = segment_tb(pusch.tbs, select_base_graph(pusch.tbs,
                                                   pusch.target_code_rate))
+
+    if "--multicell" in sys.argv:
+        # Single-device cell densification: C cells vmapped on one chip
+        # (20 MHz cells), the per-cell-slot cost curve.
+        cell = CellConfig(nof_ports=4, nof_rb=106, dft_size=2048,
+                          numerology=1)
+        mc_pdsch = PdschConfig(rnti=1, rb_start=0, rb_count=106,
+                               first_symbol=1, nof_symbols=12,
+                               modulation="qam256", target_code_rate=0.8,
+                               tbs=319784, nof_layers=4, n_id=1,
+                               dmrs_symbols=(2, 11))
+        mc_pusch = PuschConfig(rnti=2, rb_start=0, rb_count=106,
+                               first_symbol=0, nof_symbols=14,
+                               modulation="qam64", target_code_rate=0.7,
+                               tbs=122536, nof_layers=2, n_id=1,
+                               dmrs_symbols=(2, 7, 11))
+        mseg = segment_tb(mc_pusch.tbs, select_base_graph(mc_pusch.tbs, 0.7))
+        for cells in (1, 4, 8, 16):
+            dl = jax.jit(jax.vmap(dl_slot_core(cell, ((), (), (mc_pdsch,), ()))))
+            ul = jax.jit(jax.vmap(ul_slot_core(cell, ((mc_pusch,), (), (), (), ()))))
+            pay = (jnp.asarray(rng.integers(
+                0, 2, (cells, mc_pdsch.tbs)).astype(np.int8)),)
+            softs = (jnp.zeros((cells, mseg.nof_codeblocks,
+                                mseg.codeword_bits), jnp.float32),)
+            s, _ = dl((), (), pay)
+            out = ul(s, (), softs)
+            jax.block_until_ready(out)
+            best = 1e18
+            for _ in range(3):
+                t0 = time.time()
+                keep = []
+                for _ in range(20):
+                    s, _ = dl((), (), pay)
+                    keep.append(ul(s, (), softs))
+                jax.block_until_ready(keep)
+                best = min(best, (time.time() - t0) / 20 * 1e6)
+            print(json.dumps({"cells": cells,
+                              "us_per_slot": round(best, 1),
+                              "us_per_cell_slot": round(best / cells, 1)}))
+        return
+
     devs = jax.devices()
     base_us = None
     counts = [n for n in (1, 2, 4, 8) if n <= len(devs)]
