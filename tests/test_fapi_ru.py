@@ -55,11 +55,13 @@ def test_validators_tx_data_mismatch():
 
 def test_validators_ul():
     slot = SlotPoint(1, 0)
+    # 2-layer MMSE is supported here (beyond the reference); the layer cap
+    # is 4 (the reference rejects PUSCH above 1 layer).
     bad = PuschConfig(rnti=1, rb_start=0, rb_count=10, first_symbol=0,
                       nof_symbols=14, modulation="qpsk",
-                      target_code_rate=0.3, tbs=100, nof_layers=2,
+                      target_code_rate=0.3, tbs=100, nof_layers=5,
                       equalizer="mmse", dmrs_symbols=(2,))
-    with pytest.raises(validators.ValidationError, match="MMSE"):
+    with pytest.raises(validators.ValidationError, match="layers"):
         validators.validate_ul_tti(UlTtiRequest(slot=slot, pusch=(bad,)), CELL)
 
 
