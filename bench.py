@@ -70,18 +70,32 @@ def main():
     seg = segment_tb(pusch.tbs, select_base_graph(pusch.tbs, 0.7))
     softs = (jnp.zeros((seg.nof_codeblocks, seg.codeword_bits), jnp.float32),)
 
-    # UL input: reuse DL samples as rx waveform (arithmetic is identical
-    # whether or not the CRC passes; decode runs all iterations).
     t0 = time.time()
     samples, _ = dl(*dl_payloads[0])
     samples.block_until_ready()
     dl_compile_s = time.time() - t0
 
-    rx = samples
+    # UL input: a VALID PUSCH waveform (UE-side TX via the shared chain
+    # blocks, 2 layers onto 4 rx ports) so the receiver exercises its
+    # deployment path — CRC passes and the decoder's CRC early stop
+    # engages, exactly like the reference's PUSCH benchmark decoding its
+    # golden vectors.
+    ue_cfg = PdschConfig(rnti=pusch.rnti, rb_start=0, rb_count=273,
+                         first_symbol=0, nof_symbols=14, modulation="qam64",
+                         target_code_rate=0.7, tbs=pusch.tbs, nof_layers=2,
+                         n_id=1, dmrs_symbols=(2, 7, 11))
+    ue_fn = dl_slot_fn(cell, ((), (), (ue_cfg,), ()))
+    ul_payload = jnp.asarray(rng.integers(0, 2, pusch.tbs).astype(np.int8))
+    ue_samples, _ = ue_fn((), (), (ul_payload,))
+    rx = ue_samples
     t0 = time.time()
     out = ul(rx, (), softs)
     jax.block_until_ready(out)
     ul_compile_s = time.time() - t0
+    # NOTE: the CRC sanity check happens AFTER the timed loop — any
+    # device->host copy flips the tunnel into a ~100x slower per-op mode
+    # for the rest of the process (see CLAUDE.md).
+    crc_check_out = out["pusch"][0]["tb_crc_ok"]
 
     # ---- timed loop ------------------------------------------------------
     # Keep every slot's outputs and block on all of them: blocking only on
@@ -96,12 +110,13 @@ def main():
         keep = []
         for i in range(nof_slots):
             samples, _ = dl(*dl_payloads[i % n_payload_variants])
-            keep.append((samples, ul(samples, (), softs)))
+            keep.append((samples, ul(rx, (), softs)))
         jax.block_until_ready(keep)
         batch_us.append((time.time() - t0) / nof_slots * 1e6)
 
     us_per_slot = min(batch_us)
     slots_per_s = 1e6 / us_per_slot
+    assert bool(np.asarray(crc_check_out)), "bench UL loopback must decode"
     result = {
         "metric": "dl+ul_slot_100mhz_4x4",
         "value": round(us_per_slot, 1),

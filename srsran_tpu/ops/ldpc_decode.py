@@ -44,6 +44,34 @@ def _layer_gather_indices(base_graph: int, z: int, nof_layers: int):
     return plans
 
 
+def _make_sweep(rows, plans, batch: int, z: int, scaling: float):
+    """One full layer sweep (update_variable_to_check -> normalized min-sum
+    -> update_soft_bits) over the [batch, Z] lanes."""
+
+    def one_sweep(llr, c2v):
+        for r, row in enumerate(rows):
+            d = len(row)
+            plan = jnp.asarray(plans[r])
+            v = llr[:, plan].reshape(batch, d, z)                 # [B, d, Z]
+            t = v - c2v[:, r, :d]
+            abs_t = jnp.abs(t)
+            min1 = jnp.min(abs_t, axis=1, keepdims=True)          # [B, 1, Z]
+            idx = jnp.argmin(abs_t, axis=1)                       # [B, Z]
+            is_min = jax.nn.one_hot(idx, d, axis=1, dtype=jnp.bool_)
+            min2 = jnp.min(jnp.where(is_min, jnp.inf, abs_t), axis=1,
+                           keepdims=True)
+            neg = t < 0
+            sgn_prod = (jnp.sum(neg, axis=1, keepdims=True) % 2).astype(bool)
+            mag = jnp.where(is_min, min2, min1)
+            edge_sign = jnp.logical_xor(sgn_prod, neg)   # sign excl. own edge
+            new = scaling * jnp.where(edge_sign, -mag, mag)
+            llr = llr.at[:, plan].set((t + new).reshape(batch, d * z))
+            c2v = c2v.at[:, r, :d].set(new)
+        return llr, c2v
+
+    return one_sweep
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def decode(llrs: jnp.ndarray, base_graph: int, z: int,
            nof_layers: int = 0, max_iter: int = DEFAULT_MAX_ITER,
@@ -69,33 +97,62 @@ def decode(llrs: jnp.ndarray, base_graph: int, z: int,
 
     max_d = max(len(r) for r in rows)
     c2v0 = jnp.zeros((batch, nrows, max_d, z), dtype=jnp.float32)
+    one_sweep = _make_sweep(rows, plans, batch, z, scaling)
 
     def sweep(_, carry):
-        llr, c2v = carry
-        for r, row in enumerate(rows):
-            d = len(row)
-            plan = jnp.asarray(plans[r])
-            v = llr[:, plan].reshape(batch, d, z)                 # [B, d, Z]
-            t = v - c2v[:, r, :d]
-            abs_t = jnp.abs(t)
-            min1 = jnp.min(abs_t, axis=1, keepdims=True)          # [B, 1, Z]
-            idx = jnp.argmin(abs_t, axis=1)                       # [B, Z]
-            is_min = jax.nn.one_hot(idx, d, axis=1, dtype=jnp.bool_)
-            min2 = jnp.min(jnp.where(is_min, jnp.inf, abs_t), axis=1, keepdims=True)
-            neg = t < 0
-            sgn_prod = (jnp.sum(neg, axis=1, keepdims=True) % 2).astype(bool)
-            mag = jnp.where(is_min, min2, min1)
-            edge_sign = jnp.logical_xor(sgn_prod, neg)            # sign excl. own edge
-            new = scaling * jnp.where(edge_sign, -mag, mag)
-            vnew = t + new
-            llr = llr.at[:, plan].set(vnew.reshape(batch, d * z))
-            c2v = c2v.at[:, r, :d].set(new)
-        return llr, c2v
+        return one_sweep(*carry)
 
     llr_f, _ = jax.lax.fori_loop(0, max_iter, sweep, (llr0, c2v0))
     soft = llr_f.reshape(batch, -1)
     bits = (soft < 0).astype(jnp.int8)
     return bits, soft
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def decode_early_stop(llrs: jnp.ndarray, base_graph: int, z: int,
+                      nof_layers: int, max_iter: int, scaling: float,
+                      crc_poly: str, k_prime: int):
+    """Layered min-sum with per-sweep CRC early stop.
+
+    Reference semantics (ldpc_decoder.h:44-73 / ldpc_decoder_impl.cpp:130-137):
+    after each full layer sweep, hard-decide and CRC-check; stop once every
+    codeblock in the batch passes its attached CRC (CRC24B per CB, or the TB
+    CRC when the TB is a single codeblock).  Same layer math as decode();
+    the fori_loop becomes a while_loop whose predicate folds in the batched
+    GF(2)-matmul CRC over the first k_prime hard bits.
+
+    Returns (bits, soft, nof_iterations_used).
+    """
+    from .crc import crc_check
+
+    g = get_graph(base_graph, z)
+    nrows = nof_layers if nof_layers > 0 else g.nof_rows
+    rows = g.rows[:nrows]
+    plans = _layer_gather_indices(base_graph, z, nrows)
+    batch = llrs.shape[0]
+    llr0 = llrs.reshape(batch, g.nof_cols * z).astype(jnp.float32)
+    max_d = max(len(r) for r in rows)
+    c2v0 = jnp.zeros((batch, nrows, max_d, z), dtype=jnp.float32)
+    one_sweep = _make_sweep(rows, plans, batch, z, scaling)
+
+    def crc_ok(llr):
+        hard = (llr[:, :k_prime] < 0).astype(jnp.int8)
+        return jnp.all(crc_check(hard, crc_poly))
+
+    def cond(carry):
+        _, _, i, done = carry
+        return jnp.logical_and(i < max_iter, jnp.logical_not(done))
+
+    def body(carry):
+        llr, c2v, i, _ = carry
+        llr, c2v = one_sweep(llr, c2v)
+        return llr, c2v, i + 1, crc_ok(llr)
+
+    llr_f, _, iters, _ = jax.lax.while_loop(
+        cond, body, (llr0, c2v0, jnp.int32(0), jnp.bool_(False)))
+    soft = llr_f.reshape(batch, -1)
+    bits = (soft < 0).astype(jnp.int8)
+    return bits, soft, iters
 
 
 def check_parity(bits: jnp.ndarray, base_graph: int, z: int) -> jnp.ndarray:

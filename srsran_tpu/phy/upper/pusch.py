@@ -101,6 +101,7 @@ class PuschResult:
     csi1_valid: jnp.ndarray | None = None
     csi2_bits: jnp.ndarray | None = None
     csi2_valid: jnp.ndarray | None = None
+    nof_iterations: jnp.ndarray | None = None  # LDPC sweeps used (early stop)
 
 
 def demux_plan(cfg: PuschConfig):
@@ -340,7 +341,8 @@ def decode_from_llrs(llr: jnp.ndarray, est, cfg: PuschConfig,
                                  nof_iterations=nof_iterations)
     return PuschResult(tb_bits=res.tb_bits, tb_crc_ok=res.tb_crc_ok,
                        cb_crc_ok=res.cb_crc_ok, new_soft=res.new_soft,
-                       csi=est, evm_proxy=jnp.mean(jnp.abs(llr)), **uci_out)
+                       csi=est, evm_proxy=jnp.mean(jnp.abs(llr)),
+                       nof_iterations=res.nof_iterations, **uci_out)
 
 
 def process(grid: jnp.ndarray, cfg: PuschConfig,

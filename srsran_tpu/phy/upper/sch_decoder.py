@@ -25,6 +25,7 @@ class SchDecodeResult:
     tb_crc_ok: jnp.ndarray      # bool scalar
     cb_crc_ok: jnp.ndarray      # bool [C]
     new_soft: jnp.ndarray       # f32 [C, N] combined LLRs (HARQ buffer state)
+    nof_iterations: jnp.ndarray = None  # i32 scalar: sweeps used (early stop)
 
 
 def decode(llrs: jnp.ndarray, seg: SegmentParams, e_sizes: list, rv: int,
@@ -49,7 +50,13 @@ def decode(llrs: jnp.ndarray, seg: SegmentParams, e_sizes: list, rv: int,
         nof_layers = bg_rows(bg)
     else:
         nof_layers = max(4, min(seg_layers(seg, e_sizes), bg_rows(bg)))
-    bits, _ = ldpc_decode.decode(full, bg, z, nof_layers, nof_iterations)
+    # CRC early stop (ldpc_decoder.h:73): sweeps end once every CB passes
+    # its attached CRC — CRC24B per CB, or the TB CRC when C == 1.
+    es_poly = "crc24B" if seg.cb_crc_bits else (
+        "crc24A" if seg.tb_crc_bits == 24 else "crc16")
+    bits, _, nof_iter_used = ldpc_decode.decode_early_stop(
+        full, bg, z, nof_layers, nof_iterations,
+        ldpc_decode.DEFAULT_SCALING, es_poly, k_prime)
     info = bits[:, :k_prime]                                     # [C, K']
     if seg.cb_crc_bits:
         cb_ok = crc_check(info, "crc24B")
@@ -61,7 +68,8 @@ def decode(llrs: jnp.ndarray, seg: SegmentParams, e_sizes: list, rv: int,
     poly = "crc24A" if seg.tb_crc_bits == 24 else "crc16"
     tb_ok = crc_check(tb_with_crc[None], poly)[0] & jnp.all(cb_ok)
     return SchDecodeResult(tb_bits=tb_with_crc[:tbs], tb_crc_ok=tb_ok,
-                           cb_crc_ok=cb_ok, new_soft=buf)
+                           cb_crc_ok=cb_ok, new_soft=buf,
+                           nof_iterations=nof_iter_used)
 
 
 def bg_rows(bg: int) -> int:
