@@ -28,7 +28,7 @@ from ..phy.upper.dmrs import c_inits_for
 from ..ran.ldpc_params import segment_tb, select_base_graph
 from .messages import (DlTtiRequest, TxDataRequest, UlTtiRequest, SlotResults,
                        CrcIndicationPdu, RxDataIndicationPdu, UciIndicationPdu,
-                       RachIndicationPreamble)
+                       RachIndicationPreamble, SrsIndicationPdu)
 
 
 def _norm(cfg, **zero_fields):
@@ -70,7 +70,7 @@ def normalize_ul_plan(ul: UlTtiRequest):
         "f2": tuple(jnp.asarray(pucch_mod.f2_dmrs_cinits(c))
                     for c in ul.pucch_f2),
     }
-    return (pusch_n, f0_n, f1_n, f2_n, ul.prach), ctx
+    return (pusch_n, f0_n, f1_n, f2_n, ul.prach, ul.srs), ctx
 
 
 class HarqBufferPool:
@@ -190,6 +190,12 @@ class SlotConductor:
                 res.rach.append(RachIndicationPreamble(
                     preamble_index=int(idx), timing_advance_s=float(tas[idx]),
                     metric=float(mets[idx])))
+        for cfg, r in zip(ul_tti.srs, out["srs"]):
+            snr_db = float(10 * np.log10(
+                max(float(np.mean(np.asarray(r["snr"]))), 1e-9)))
+            res.srs.append(SrsIndicationPdu(
+                rnti=cfg.rnti, timing_advance_s=float(r["ta_s"]),
+                snr_db=snr_db, wideband_h=np.asarray(r["wideband_h"])))
         if self.pcap is not None:
             self.pcap.capture("slot_results", res)
         return res

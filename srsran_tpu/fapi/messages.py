@@ -70,10 +70,11 @@ class UlTtiRequest:
     pucch_f1: tuple = ()
     pucch_f2: tuple = ()
     prach: tuple = ()      # tuple[PrachConfig]
+    srs: tuple = ()        # tuple[SrsConfig] (fapi ul_srs_pdu)
 
     def plan_key(self):
         return (self.pusch, self.pucch_f0, self.pucch_f1, self.pucch_f2,
-                self.prach)
+                self.prach, self.srs)
 
 
 # -------------------------------------------------------------- indications
@@ -109,6 +110,16 @@ class RachIndicationPreamble:
 
 
 @dataclasses.dataclass
+class SrsIndicationPdu:
+    """Sounding report (fapi srs_indication.h essentials)."""
+
+    rnti: int
+    timing_advance_s: float
+    snr_db: float
+    wideband_h: np.ndarray   # complex [rx_ports, srs_ports] wideband channel
+
+
+@dataclasses.dataclass
 class SlotResults:
     """Everything the UL slot program produced (crc/rx_data/uci/rach ind)."""
 
@@ -117,3 +128,4 @@ class SlotResults:
     rx_data: list = dataclasses.field(default_factory=list)
     uci: list = dataclasses.field(default_factory=list)
     rach: list = dataclasses.field(default_factory=list)
+    srs: list = dataclasses.field(default_factory=list)

@@ -110,3 +110,8 @@ def validate_ul_tti(ul: UlTtiRequest, cell: CellConfig):
         _check(f.rb_start + f.nof_rb <= cell.nof_rb, "pucch_f2: PRB range")
         _check(f.nof_symbols in (1, 2), "pucch_f2: 1-2 symbols")
         _check(f.nof_uci_bits >= 1, "pucch_f2: empty UCI")
+    for s in ul.srs:
+        _check(s.rb_start + s.rb_count <= cell.nof_rb, "srs: PRB range")
+        _check(s.nof_symbols in (1, 2, 4), "srs: 1/2/4 symbols")
+        _check(s.comb in (2, 4), "srs: comb 2 or 4")
+        _check(s.start_symbol + s.nof_symbols <= 14, "srs: symbol range")

@@ -27,6 +27,7 @@ from .upper import pusch as pusch_mod
 from .upper import pucch as pucch_mod
 from .upper import prach as prach_mod
 from .upper import csi_rs as csi_rs_mod
+from .upper import srs as srs_mod
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,13 +106,15 @@ def dl_slot_fn(cell: CellConfig, plan, slot_in_subframe: int = 0):
 def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
     """Un-jitted UL slot program builder (for jit or vmap over cells).
 
-    plan = (pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs).
+    plan = (pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs[, srs_cfgs]).
     Returned fn(samples, prach_fd, soft_buffers) -> dict of result pytrees.
     prach_fd: [n_prach, ports, sym, L] frequency-domain PRACH captures (the
     lower-PHY PRACH demodulator output); soft_buffers: tuple per PUSCH
     (HARQ state, zeros when new data).
     """
-    pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs = plan
+    if len(plan) == 5:          # pre-SRS plan tuples remain valid
+        plan = plan + ((),)
+    pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs, srs_cfgs = plan
 
     def run(samples, prach_fd, soft_buffers, ctx=None):
         with jax.named_scope("ofdm_demodulate"):
@@ -119,7 +122,7 @@ def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
                 samples, cell.nof_sc, cell.dft_size, cell.numerology, cell.cp,
                 slot_in_subframe, cell.center_freq_hz)
         out = {"pusch": [], "pucch_f0": [], "pucch_f1": [], "pucch_f2": [],
-               "prach": []}
+               "prach": [], "srs": []}
         for i, cfg in enumerate(pusch_cfgs):
             sb = soft_buffers[i] if soft_buffers is not None else None
             ci = ctx["pusch"][i] if ctx else None
@@ -145,6 +148,13 @@ def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
             ci = ctx["f2"][i] if ctx else None
             with jax.named_scope("pucch_f2"):
                 out["pucch_f2"].append(pucch_mod.process_format2(grid, cfg, ci))
+        for cfg in srs_cfgs:
+            with jax.named_scope("srs"):
+                est = srs_mod.estimate(grid, cfg)
+            # wideband channel: average the estimate over symbols/subcarriers
+            out["srs"].append({
+                "wideband_h": jnp.mean(est.coeffs, axis=(2, 3)),
+                "ta_s": est.time_alignment_s, "snr": est.snr})
         for i, cfg in enumerate(prach_cfgs):
             with jax.named_scope("prach"):
                 det = prach_mod.detect(prach_fd[i], cfg)

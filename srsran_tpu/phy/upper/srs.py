@@ -33,6 +33,7 @@ class SrsConfig:
     nof_ports: int             # N_ap: 1, 2 or 4
     sequence_id: int           # n_SRS_ID
     numerology: int = 0
+    rnti: int = 0              # fapi ul_srs_pdu rnti (indication routing)
 
     @property
     def seq_len(self) -> int:
