@@ -201,6 +201,12 @@ def serve_phy(port: int = 0, host: str = "127.0.0.1",
             if t == "config":
                 cond = SlotConductor(body)
                 send_msg(conn, "config_ok")
+            elif cond is None and t in ("dl_tti", "ul_tti", "rx_samples"):
+                # Protocol-level error reply instead of AttributeError —
+                # mirrors the reference's FAPI error indication on messages
+                # arriving before cell configuration.
+                send_msg(conn, "error",
+                         {"msg": f"{t} before config", "type": t})
             elif t == "dl_tti":
                 samples, _ = cond.process_dl(body["dl"], body["tx"])
                 if body.get("want_samples"):

@@ -68,7 +68,16 @@ def validate_dl_tti(dl: DlTtiRequest, cell: CellConfig):
         _check(p.tbs + 24 <= g,
                f"pdsch: TBS {p.tbs} exceeds capacity {g} bits")
     for c in dl.csi_rs:
-        _check(1 <= c.row <= 12, "csi_rs: unsupported row (reference caps at 12)")
+        _check(1 <= c.row <= 18, "csi_rs: row must be 1..18 "
+               "(Table 7.4.1.5.3-1; the reference caps at 12)")
+        # The slot program maps CSI-RS ports 1:1 onto physical ports (no
+        # precoding matrix in the FAPI PDU), so a row needing more CSI-RS
+        # ports than the cell has would raise at trace time — reject here.
+        from ..phy.upper.csi_rs import nof_csi_rs_ports
+        _check(nof_csi_rs_ports(c.row) <= cell.nof_ports,
+               f"csi_rs: row {c.row} needs {nof_csi_rs_ports(c.row)} CSI-RS "
+               f"ports but the cell has {cell.nof_ports} (a precoding matrix "
+               "is required and the FAPI path does not carry one)")
         _check(c.rb_start + c.rb_count <= cell.nof_rb, "csi_rs: PRB range")
         try:
             c.resolved_k_ref()
@@ -103,6 +112,9 @@ def validate_ul_tti(ul: UlTtiRequest, cell: CellConfig):
         _check(f.prb < cell.nof_rb, "pucch_f0: PRB")
         _check(f.nof_symbols in (1, 2), "pucch_f0: 1-2 symbols")
         _check(0 <= f.initial_cyclic_shift < 12, "pucch_f0: cyclic shift")
+        _check(0 <= f.nof_harq_bits <= 2, "pucch_f0: 0-2 HARQ bits")
+        _check(f.nof_harq_bits > 0 or f.sr_opportunity,
+               "pucch_f0: must carry HARQ bits, SR, or both")
     for f in ul.pucch_f1:
         _check(f.prb < cell.nof_rb, "pucch_f1: PRB")
         _check(4 <= f.nof_symbols <= 14, "pucch_f1: 4-14 symbols")

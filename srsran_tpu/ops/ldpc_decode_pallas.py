@@ -119,7 +119,7 @@ def decode(llrs: jnp.ndarray, bg: int, z: int, nof_layers: int = 0,
     g = get_graph(bg, z)
     nrows = nof_layers if nof_layers > 0 else g.nof_rows
     b = llrs.shape[0]
-    bt = max(1, batch_tile)
+    bt = max(1, min(batch_tile, b))
     pad = (-b) % bt
     x = jnp.pad(llrs.astype(jnp.float32), ((0, pad), (0, 0)))
     xb = x.reshape(-1, g.nof_cols, z)

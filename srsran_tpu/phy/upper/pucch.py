@@ -110,6 +110,10 @@ def detect_format0(grid: jnp.ndarray, cfg: PucchF0Config,
     frequency hopping the second symbol is read from second_hop_prb.
     Returns dict with detected flag, HARQ bits, SR bit and metric.
     """
+    if (cfg.nof_harq_bits, cfg.sr_opportunity) not in _F0_TABLES:
+        raise ValueError(
+            "pucch_f0: nof_harq_bits=0 requires sr_opportunity=True "
+            "(an F0 occasion must carry HARQ bits, SR, or both)")
     table = _F0_TABLES[(cfg.nof_harq_bits, cfg.sr_opportunity)]
     corr_total = []
     energy = 0.0
