@@ -73,9 +73,8 @@ def _tb_plan(e_sizes: tuple, rv: int, qm: int, base_graph: int, z: int,
     """Flat [G] index plan over a whole transport block: output bit g of the
     concatenated codeword maps to flat position (cb * N + buffer_idx).
 
-    This collapses the per-codeblock rate-match loop into ONE device gather
-    (TX) / segment scatter-add (RX) — the per-CB thread fan-out of
-    pdsch_processor_flexible_impl becomes a single indexed move."""
+    Kept as the reference semantics for the slice-based fast path below
+    (tests assert equality) and for exotic configs it can't express."""
     n_cb = min(n_ref, n) if n_ref else n
     k0 = rate_match_k0(base_graph, rv, n_cb, z)
     parts = []
@@ -86,16 +85,61 @@ def _tb_plan(e_sizes: tuple, rv: int, qm: int, base_graph: int, z: int,
     return np.concatenate(parts)
 
 
+@functools.lru_cache(maxsize=None)
+def _window_plan(rv: int, base_graph: int, z: int, k_prime: int, k: int,
+                 n: int, n_ref: int = 0):
+    """Host-side geometry for the slice-based rate (de)match.
+
+    TS38.212 bit selection is a circular CONTIGUOUS window over the
+    filler-free circular buffer: skipping filler bits while walking mod Ncb
+    is equivalent to deleting the filler range once and reading n_nf-
+    periodically from the adjusted start k0'.  Returns
+    (fs, fe, n_nf, k0p): filler range [fs, fe) within [0, n_cb), the
+    filler-free buffer length, and the window start in filler-free coords.
+    """
+    n_cb = min(n_ref, n) if n_ref else n
+    k0 = rate_match_k0(base_graph, rv, n_cb, z)
+    fs = min(k_prime - 2 * z, n_cb)
+    fe = min(k - 2 * z, n_cb)
+    n_nf = n_cb - (fe - fs)
+    k0p = k0 - max(0, min(k0, fe) - fs)
+    return fs, fe, n_nf, k0p
+
+
+def _group_e_sizes(e_sizes: tuple):
+    """Contiguous runs of equal E (TS38.212 yields at most two values)."""
+    groups = []
+    start = 0
+    for j in range(1, len(e_sizes) + 1):
+        if j == len(e_sizes) or e_sizes[j] != e_sizes[start]:
+            groups.append((start, j, e_sizes[start]))
+            start = j
+    return groups
+
+
 def rate_match_batch(codewords: jnp.ndarray, e_sizes, rv: int, qm: int,
                      base_graph: int, z: int, k_prime: int, k: int,
                      n_ref: int = 0) -> jnp.ndarray:
-    """Rate-match all codeblocks of a TB in one gather.
+    """Rate-match all codeblocks of a TB: int8 [C, N] -> int8 [G].
 
-    codewords: int8 [C, N] -> int8 [G = sum(e_sizes)]."""
+    Slices + transposes only — no device gather.  Bit selection = a
+    contiguous window of the tiled filler-free buffer; the §5.4.2.2
+    interleaver = reshape(qm, E/qm) + transpose.  Equality with the
+    index-plan semantics is asserted in tests/test_ldpc_encode.py.
+    """
     c, n = codewords.shape
-    plan = _tb_plan(tuple(e_sizes), rv, qm, base_graph, z, k_prime, k, n,
-                    n_ref)
-    return jnp.take(codewords.reshape(-1), jnp.asarray(plan))
+    fs, fe, n_nf, k0p = _window_plan(rv, base_graph, z, k_prime, k, n, n_ref)
+    nofill = jnp.concatenate(
+        [codewords[:, :fs], codewords[:, fe:min(n_ref, n) if n_ref else n]],
+        axis=1)                                               # [C, n_nf]
+    outs = []
+    for g0, g1, e in _group_e_sizes(tuple(e_sizes)):
+        reps = -(-(k0p + e) // n_nf)                          # ceil
+        tiled = jnp.tile(nofill[g0:g1], (1, reps))
+        sel = jax.lax.slice(tiled, (0, k0p), (g1 - g0, k0p + e))
+        inter = sel.reshape(g1 - g0, qm, e // qm)
+        outs.append(jnp.transpose(inter, (0, 2, 1)).reshape(-1))
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 def rate_dematch_batch(llrs: jnp.ndarray, nof_codeblocks: int, e_sizes,
@@ -103,15 +147,37 @@ def rate_dematch_batch(llrs: jnp.ndarray, nof_codeblocks: int, e_sizes,
                        k_prime: int, k: int, n: int, n_ref: int = 0,
                        filler_llr: float = 1e4) -> jnp.ndarray:
     """Inverse of rate_match_batch: f32 [G] -> f32 [C, N] with LLR
-    accumulation on repetitions and known-zero filler LLRs."""
-    plan = _tb_plan(tuple(e_sizes), rv, qm, base_graph, z, k_prime, k, n,
-                    n_ref)
-    buf = jnp.zeros((nof_codeblocks * n,), dtype=llrs.dtype)
-    buf = buf.at[jnp.asarray(plan)].add(llrs).reshape(nof_codeblocks, n)
-    fs, fe = k_prime - 2 * z, k - 2 * z
+    accumulation on repetitions and known-zero filler LLRs.
+
+    Slice-based: de-interleave by transpose, place the E-window into a
+    zero-padded [reps, n_nf] buffer with a static slice-set, and let the
+    sum over the repetition axis do the LLR combining — no device scatter.
+    """
+    c = nof_codeblocks
+    fs, fe, n_nf, k0p = _window_plan(rv, base_graph, z, k_prime, k, n, n_ref)
+    n_cb = min(n_ref, n) if n_ref else n
+    accs = []
+    off = 0
+    for g0, g1, e in _group_e_sizes(tuple(e_sizes)):
+        cg = g1 - g0
+        seg = jax.lax.slice(llrs, (off,), (off + cg * e,)).reshape(cg, e)
+        off += cg * e
+        # inverse of reshape(qm, E/qm).T.flatten()
+        sel = jnp.transpose(seg.reshape(cg, e // qm, qm), (0, 2, 1))
+        sel = sel.reshape(cg, e)
+        reps = -(-(k0p + e) // n_nf)
+        buf = jnp.zeros((cg, reps * n_nf), dtype=llrs.dtype)
+        buf = jax.lax.dynamic_update_slice(buf, sel, (0, k0p))
+        accs.append(buf.reshape(cg, reps, n_nf).sum(axis=1))  # [cg, n_nf]
+    acc = jnp.concatenate(accs, axis=0) if len(accs) > 1 else accs[0]
+    out = jnp.zeros((c, n), dtype=llrs.dtype)
+    out = jax.lax.dynamic_update_slice(out, acc[:, :fs], (0, 0))
+    out = jax.lax.dynamic_update_slice(out, acc[:, fs:], (0, fe))
     if fe > fs:
-        buf = buf.at[:, fs:fe].set(filler_llr)
-    return buf
+        filler = jnp.full((c, fe - fs), filler_llr, dtype=llrs.dtype)
+        out = jax.lax.dynamic_update_slice(out, filler, (0, fs))
+    del n_cb
+    return out
 
 
 def rate_dematch(llrs: jnp.ndarray, rv: int, qm: int,

@@ -82,6 +82,50 @@ def _set_pc_bits(u: jnp.ndarray, code: PolarCode) -> jnp.ndarray:
     return out
 
 
+_ENCODE_MATRIX_CACHE: dict = {}
+
+
+def encode_matrix(code: PolarCode) -> np.ndarray:
+    """GF(2) matrix M [K, E] of the whole encode chain (host, numpy).
+
+    allocate (incl. i_IL) -> u F^{(x)n} -> rate match (+i_BIL) is linear
+    over GF(2) for n_pc == 0, so msg @ M (&1) reproduces
+    rate_match(encode(allocate(msg))) with ONE device matmul — this is how
+    the slot programs fuse the reference's whole polar TX chain
+    (polar_{allocator,encoder,rate_matcher}_impl) into a single MXU op.
+    """
+    assert code.n_pc == 0, "PC-polar (UCI 12..19 bits) is not linear"
+    key = (code.k, code.e, code.n, code.mode, code.ibil, code.iil,
+           code.info_set.tobytes())
+    hit = _ENCODE_MATRIX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    k, big_n = code.k, code.big_n
+    placed = np.eye(k, dtype=np.uint8)
+    if code.iil:
+        # allocate() takes msg' = msg[perm]; on basis rows that is a
+        # column reorder: placed[r, i] = (perm[i] == r).
+        placed = placed[:, input_interleave_map(code.k)]
+    u = np.zeros((k, big_n), dtype=np.uint8)
+    u[:, code.info_set] = placed
+    # butterfly x = u F^{(x)n}
+    x = u
+    n = code.n
+    for s in range(n):
+        half = 1 << s
+        x = x.reshape(k, big_n // (2 * half), 2, half)
+        left = x[:, :, 0] ^ x[:, :, 1]
+        x = np.stack([left, x[:, :, 1]], axis=2)
+    x = x.reshape(k, big_n)
+    plan = _rm_plan(code.big_n, code.e, code.mode)
+    out = x[:, plan]
+    if code.ibil:
+        out = out[:, _triangle_perm(code.e)]
+    out = out.astype(np.uint8)
+    _ENCODE_MATRIX_CACHE[key] = out
+    return out
+
+
 # ------------------------------------------------------------ rate matching
 
 @functools.lru_cache(maxsize=None)

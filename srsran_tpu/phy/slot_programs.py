@@ -139,11 +139,27 @@ def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
             with jax.named_scope("pucch_f0"):
                 out["pucch_f0"].append(
                     pucch_mod.detect_format0(grid, cfg, ncs=ncs))
+        # PUCCH F1: users multiplexed on the same PRB/occasion are detected
+        # as one batch (shared despread — the reference's batch API,
+        # pucch_processor.h:196-217); grouping is static per slot plan.
+        f1_groups: dict = {}
         for i, cfg in enumerate(f1_cfgs):
-            ncs = ctx["f1"][i] if ctx else None
+            key = (cfg.prb, cfg.start_symbol, cfg.nof_symbols, cfg.n_id,
+                   cfg.slot, cfg.second_hop_prb)
+            f1_groups.setdefault(key, []).append(i)
+        f1_results = [None] * len(f1_cfgs)
+        for idxs in f1_groups.values():
+            common = f1_cfgs[idxs[0]]
+            users = tuple((f1_cfgs[i].initial_cyclic_shift,
+                           f1_cfgs[i].time_domain_occ,
+                           f1_cfgs[i].nof_harq_bits) for i in idxs)
+            ncs = ctx["f1"][idxs[0]] if ctx else None
             with jax.named_scope("pucch_f1"):
-                out["pucch_f1"].append(
-                    pucch_mod.detect_format1(grid, cfg, ncs=ncs))
+                rs = pucch_mod.detect_format1_batch(grid, common, users,
+                                                    ncs=ncs)
+            for i, r in zip(idxs, rs):
+                f1_results[i] = r
+        out["pucch_f1"].extend(f1_results)
         for i, cfg in enumerate(f2_cfgs):
             ci = ctx["f2"][i] if ctx else None
             with jax.named_scope("pucch_f2"):

@@ -102,6 +102,35 @@ def decode_dci(llrs: jnp.ndarray, cfg: PdcchConfig):
 
 
 @functools.lru_cache(maxsize=None)
+def _fused_dci_maps(a: int, e: int, rnti: int, n_rnti: int, n_id_data: int):
+    """Host GF(2) affine map for the whole §7.3 DCI TX chain.
+
+    CRC24C with leading ones, RNTI masking, polar allocate/encode/rate-match
+    and Gold scrambling collapse to encoded = payload @ M ^ const — one MXU
+    matmul on device (same trick as ssb._fused_pbch_maps).  Returns
+    (M [A, E] int8, const [E] int32).
+    """
+    from ...ops.gf2 import gf2_matmul
+    from ...ops.crc import _remainder_matrix
+    from ...ops.gold import gold_sequence_np
+
+    mc = _remainder_matrix("crc24C", 24 + a).astype(np.uint8)   # [24+A, 24]
+    const_c = mc[:24].sum(axis=0) % 2                           # leading ones
+    mask = np.zeros(24, dtype=np.uint8)
+    for i in range(16):
+        mask[8 + i] = (rnti >> (15 - i)) & 1
+    m_bits = np.concatenate([np.eye(a, dtype=np.uint8), mc[24:]], axis=1)
+    const_bits = np.concatenate([np.zeros(a, dtype=np.uint8),
+                                 (const_c ^ mask).astype(np.uint8)])
+    m_enc = polar_ops.encode_matrix(_dci_code(a + 24, e))       # [A+24, E]
+    m = gf2_matmul(m_bits, m_enc).astype(np.int8)               # [A, E]
+    scr_cinit = ((n_rnti << 16) + n_id_data) % (1 << 31)
+    const = (gf2_matmul(const_bits[None], m_enc)[0]
+             ^ gold_sequence_np(scr_cinit, e).astype(np.uint8))
+    return m, const.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
 def _bundle_map(coreset: CoresetConfig) -> np.ndarray:
     """f(j): logical REG-bundle index -> physical bundle (TS38.211 §7.3.2.2)."""
     nof_reg = coreset.nof_rb * coreset.duration
@@ -190,10 +219,18 @@ def _dmrs_values(cfg: PdcchConfig, dmrs_pos: np.ndarray,
 
 def process(grid: jnp.ndarray, payload: jnp.ndarray, cfg: PdcchConfig,
             amplitude: float = 1.0, dmrs_cinits=None) -> jnp.ndarray:
-    """Encode + modulate + map one DCI into port 0 of the grid."""
-    encoded = encode_dci(payload, cfg)
-    c_init = ((cfg.n_rnti << 16) + cfg.n_id_data) % (1 << 31)
-    b = scramble_bits(encoded[None], c_init)
+    """Encode + modulate + map one DCI into port 0 of the grid.
+
+    The encode+scramble bit chain is one fused GF(2) matmul
+    (_fused_dci_maps); equality with encode_dci+scramble_bits is asserted
+    in tests/test_pdcch_dmrs2.py.
+    """
+    e = BITS_PER_CCE * cfg.aggregation_level
+    m, const = _fused_dci_maps(cfg.payload_bits, e, cfg.rnti, cfg.n_rnti,
+                               cfg.n_id_data)
+    acc = jnp.matmul(jnp.asarray(payload).astype(jnp.int8), jnp.asarray(m),
+                     preferred_element_type=jnp.int32)
+    b = ((acc + jnp.asarray(const)) & 1).astype(jnp.int8)[None]
     syms = modulate(b, "qpsk")[0] * amplitude
     data_pos, dmrs_pos, dmrs_prb = _candidate_re_plan(
         cfg.coreset, cfg.cce_index, cfg.aggregation_level)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -115,28 +116,40 @@ def detect_format0(grid: jnp.ndarray, cfg: PucchF0Config,
             "pucch_f0: nof_harq_bits=0 requires sr_opportunity=True "
             "(an F0 occasion must carry HARQ bits, SR, or both)")
     table = _F0_TABLES[(cfg.nof_harq_bits, cfg.sr_opportunity)]
-    corr_total = []
-    energy = 0.0
-    for m_cs, _, _ in table:
-        acc = 0.0
-        for s in range(cfg.nof_symbols):
-            l = cfg.start_symbol + s
-            prb = (cfg.second_hop_prb
-                   if s > 0 and cfg.second_hop_prb is not None else cfg.prb)
-            sc = jnp.arange(prb * 12, (prb + 1) * 12)
-            rx = grid[:, l, sc]                                  # [P, 12]
-            ref = jnp.asarray(_f01_sequence(
-                cfg.n_id, cfg.slot, l, cfg.initial_cyclic_shift, m_cs,
-                None if ncs is None else ncs[l]))
-            acc = acc + jnp.abs(jnp.sum(rx * jnp.conj(ref), axis=-1)) ** 2
-        corr_total.append(jnp.sum(acc))
+    nports = grid.shape[0]
+    # Gather the occasion REs as static slices: [P, nsym, 12].
+    rows = []
     for s in range(cfg.nof_symbols):
         l = cfg.start_symbol + s
         prb = (cfg.second_hop_prb
                if s > 0 and cfg.second_hop_prb is not None else cfg.prb)
-        sc = jnp.arange(prb * 12, (prb + 1) * 12)
-        energy = energy + jnp.sum(jnp.abs(grid[:, l, sc]) ** 2)
-    corr = jnp.stack(corr_total) / 12.0                          # [C]
+        rows.append(jax.lax.slice(grid, (0, l, prb * 12),
+                                  (nports, l + 1, prb * 12 + 12)))
+    rx = jnp.concatenate(rows, axis=1)                           # [P, S, 12]
+    # Reference sequences for all candidate m_cs at once: [C, S, 12].
+    mcs = np.array([m for m, _, _ in table])
+    n = np.arange(12)
+    base = base_sequence(cfg.n_id % 30, 0, 12)
+    if ncs is None:
+        ncs_v = _ncs_table(cfg.n_id, cfg.slot)[
+            cfg.start_symbol: cfg.start_symbol + cfg.nof_symbols]
+        alpha = 2 * np.pi / 12 * ((cfg.initial_cyclic_shift
+                                   + mcs[:, None] + ncs_v[None, :]) % 12)
+        refs = jnp.asarray(
+            (np.exp(1j * alpha[..., None] * n) * base).astype(np.complex64))
+    else:
+        ncs_v = jax.lax.slice(
+            jnp.asarray(ncs), (cfg.start_symbol,),
+            (cfg.start_symbol + cfg.nof_symbols,)).astype(jnp.float32)
+        alpha = (2 * jnp.pi / 12) * jnp.mod(
+            cfg.initial_cyclic_shift + jnp.asarray(mcs, jnp.float32)[:, None]
+            + ncs_v[None, :], 12.0)
+        phase = alpha[..., None] * jnp.asarray(n, jnp.float32)
+        refs = (jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+                * jnp.asarray(base))
+    t = jnp.einsum("psn,csn->cps", rx, jnp.conj(refs))
+    corr = jnp.sum(jnp.abs(t) ** 2, axis=(1, 2)) / 12.0          # [C]
+    energy = jnp.sum(jnp.abs(rx) ** 2)
     noise = jnp.maximum(energy - jnp.max(corr), 1e-9) / 12.0
     metric = corr / noise
     best = jnp.argmax(metric)
@@ -196,42 +209,54 @@ def detect_format1(grid: jnp.ndarray, cfg: PucchF1Config,
     z_all = []           # per-data-symbol matched-filter statistics
     h_energy = 0.0
     n_data_total = 0
+    nports = grid.shape[0]
+    n12 = np.arange(12)
+    base = base_sequence(cfg.n_id % 30, 0, 12)
     for prb, s0, nsym in _f1_hops(cfg):
-        sc = jnp.arange(prb * 12, (prb + 1) * 12)
+        l_lo = cfg.start_symbol + s0
         # DM-RS on even relative symbols of the WHOLE allocation
         rel = list(range(s0, s0 + nsym))
         dmrs_rel = [s for s in rel if s % 2 == 0]
         data_rel = [s for s in rel if s % 2 == 1]
         occ_dmrs = _occ(cfg.time_domain_occ, len(dmrs_rel))
         occ_data = _occ(cfg.time_domain_occ, max(len(data_rel), 1))
-        dm_acc = jnp.zeros((grid.shape[0], 12), dtype=jnp.complex64)
-        data_syms = []
-        for i, s in enumerate(dmrs_rel):
-            l = cfg.start_symbol + s
-            ref = jnp.asarray(_f01_sequence(
-                cfg.n_id, cfg.slot, l, cfg.initial_cyclic_shift,
-                0, None if ncs is None else ncs[l]))
-            dm_acc = dm_acc + grid[:, l, sc] * jnp.conj(ref) * np.conj(occ_dmrs[i])
-        for i, s in enumerate(data_rel):
-            l = cfg.start_symbol + s
-            ref = jnp.asarray(_f01_sequence(
-                cfg.n_id, cfg.slot, l, cfg.initial_cyclic_shift,
-                0, None if ncs is None else ncs[l]))
-            data_syms.append(grid[:, l, sc] * jnp.conj(ref)
-                             * np.conj(occ_data[i]))
+        # One static slice for the whole hop: [P, nsym, 12].
+        rx = jax.lax.slice(grid, (0, l_lo, prb * 12),
+                           (nports, l_lo + nsym, prb * 12 + 12))
+        # Per-symbol cyclic-shifted base sequences, vectorized: [nsym, 12].
+        if ncs is None:
+            ncs_v = _ncs_table(cfg.n_id, cfg.slot)[l_lo: l_lo + nsym]
+            alpha = 2 * np.pi / 12 * ((cfg.initial_cyclic_shift + ncs_v) % 12)
+            refs = jnp.asarray(
+                (np.exp(1j * alpha[:, None] * n12) * base).astype(np.complex64))
+        else:
+            ncs_v = jax.lax.slice(jnp.asarray(ncs), (l_lo,),
+                                  (l_lo + nsym,)).astype(jnp.float32)
+            alpha = (2 * jnp.pi / 12) * jnp.mod(
+                cfg.initial_cyclic_shift + ncs_v, 12.0)
+            phase = alpha[:, None] * jnp.asarray(n12, jnp.float32)
+            refs = (jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+                    * jnp.asarray(base))
+        despread = rx * jnp.conj(refs)[None]                 # [P, nsym, 12]
+        # OCC weights as a per-symbol vector (0 on the other class).
+        w_dm = np.zeros(nsym, dtype=np.complex64)
+        w_dm[[s - s0 for s in dmrs_rel]] = np.conj(occ_dmrs)
+        dm_acc = jnp.einsum("psn,s->pn", despread, jnp.asarray(w_dm))
         # Per-port wideband average over the PRB: a different-cyclic-shift
         # user appears as a phase ramp across subcarriers after
         # despreading, which the flat (1-PRB) average rejects — same as
         # the reference's per-hop channel averaging.
-        h = jnp.mean(dm_acc / max(len(dmrs_rel), 1), axis=-1,
-                     keepdims=True) * jnp.ones((1, 12))
-        h = h.astype(jnp.complex64)
-        h_energy = h_energy + jnp.sum(jnp.abs(h) ** 2)
+        h0 = jnp.mean(dm_acc, axis=-1) / max(len(dmrs_rel), 1)   # [P]
+        h_energy = h_energy + 12.0 * jnp.sum(jnp.abs(h0) ** 2)
         # Matched filter per data symbol: other multiplexed users cancel
         # inside each subcarrier/OCC sum.
-        z_all.extend(jnp.sum(jnp.conj(h) * y) for y in data_syms)
+        z_sym = jnp.einsum("p,psn->s", jnp.conj(h0), despread)  # [nsym]
+        if data_rel:
+            idx = jnp.asarray(np.array([s - s0 for s in data_rel], np.int32))
+            z_all.append(jnp.take(z_sym, idx)
+                         * jnp.asarray(np.conj(occ_data).astype(np.complex64)))
         n_data_total += len(data_rel)
-    z_s = jnp.stack(z_all)                                   # [n_data_total]
+    z_s = jnp.concatenate(z_all)                             # [n_data_total]
     z_mean = jnp.mean(z_s)
     d_hat = z_mean / jnp.maximum(
         h_energy / (2 if cfg.second_hop_prb is not None else 1), 1e-12)
@@ -252,15 +277,85 @@ def detect_format1_batch(grid: jnp.ndarray, common: PucchF1Config,
     reference's pucch_processor.h:196-217 batch API with format1_map).
 
     users: tuple of (initial_cyclic_shift, time_domain_occ, nof_harq_bits).
-    The despread per (ics, occ) shares the per-symbol base sequence across
-    all users, so the whole PRB's user set costs barely more than one.
-    Returns a list of per-user result dicts in the order given.
+    TPU-native: the raw-base despread d0 = rx * conj(base) is shared; each
+    user differs only by a cyclic-shift phase ramp and a time-OCC weight,
+    so ALL users' statistics come out of two einsums with a [U, S, 12]
+    weight tensor — the whole PRB's user set costs barely more than one
+    user.  Returns a list of per-user result dicts in the order given.
+    Equality with per-user detect_format1 is asserted in tests.
     """
+    if not users:
+        return []
+    nports = grid.shape[0]
+    u_count = len(users)
+    n12 = np.arange(12)
+    base = base_sequence(common.n_id % 30, 0, 12)
+    # per-user accumulators across hops
+    z_chunks = []                    # list of [U, n_data_hop]
+    h_energy = jnp.zeros((u_count,), jnp.float32)
+    n_data_total = 0
+    for prb, s0, nsym in _f1_hops(common):
+        l_lo = common.start_symbol + s0
+        rel = list(range(s0, s0 + nsym))
+        dmrs_rel = [s for s in rel if s % 2 == 0]
+        data_rel = [s for s in rel if s % 2 == 1]
+        n_dm = max(len(dmrs_rel), 1)
+        rx = jax.lax.slice(grid, (0, l_lo, prb * 12),
+                           (nports, l_lo + nsym, prb * 12 + 12))
+        d0 = rx * jnp.conj(jnp.asarray(base))[None, None]    # [P, S, 12]
+        # Per-user per-symbol conjugated reference phase + OCC weights.
+        m0s = np.array([u[0] for u in users], np.float32)    # [U]
+        w_dm = np.zeros((u_count, nsym), np.complex64)
+        w_da = np.zeros((u_count, nsym), np.complex64)
+        for ui, (_, occ_i, _) in enumerate(users):
+            od = _occ(occ_i, len(dmrs_rel))
+            oa = _occ(occ_i, max(len(data_rel), 1))
+            for i, s in enumerate(dmrs_rel):
+                w_dm[ui, s - s0] = np.conj(od[i])
+            for i, s in enumerate(data_rel):
+                w_da[ui, s - s0] = np.conj(oa[i])
+        if ncs is None:
+            ncs_v = _ncs_table(common.n_id, common.slot)[l_lo: l_lo + nsym]
+            alpha = 2 * np.pi / 12 * ((m0s[:, None] + ncs_v[None]) % 12)
+            ph = np.exp(-1j * alpha[..., None] * n12).astype(np.complex64)
+            a_dm = jnp.asarray(ph * w_dm[..., None])         # [U, S, 12]
+            ph_j = jnp.asarray(ph)
+        else:
+            ncs_v = jax.lax.slice(jnp.asarray(ncs), (l_lo,),
+                                  (l_lo + nsym,)).astype(jnp.float32)
+            alpha = (2 * jnp.pi / 12) * jnp.mod(
+                jnp.asarray(m0s)[:, None] + ncs_v[None], 12.0)
+            phase = -alpha[..., None] * jnp.asarray(n12, jnp.float32)
+            ph_j = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+            a_dm = ph_j * jnp.asarray(w_dm)[..., None]
+        # Channel per user: h0[u, p] = mean_n sum_s d0 * phase * w_dm / n_dm
+        dm = jnp.einsum("psn,usn->upn", d0, a_dm)
+        h0 = jnp.mean(dm, axis=-1) / n_dm                    # [U, P]
+        h_energy = h_energy + 12.0 * jnp.sum(jnp.abs(h0) ** 2, axis=-1)
+        # Matched filter per data symbol (keep symbols separate for the
+        # variance statistic): z[u, s] for data symbols.
+        z_us = jnp.einsum("up,psn,usn->us", jnp.conj(h0), d0, ph_j)
+        if data_rel:
+            idx = jnp.asarray(np.array([s - s0 for s in data_rel], np.int32))
+            z_chunks.append(jnp.take(z_us, idx, axis=1)
+                            * jnp.take(jnp.asarray(w_da), idx, axis=1))
+        n_data_total += len(data_rel)
+    z_s = jnp.concatenate(z_chunks, axis=1)                  # [U, D]
+    z_mean = jnp.mean(z_s, axis=1)                           # [U]
+    nhops = 2 if common.second_hop_prb is not None else 1
+    d_hat = z_mean / jnp.maximum(h_energy / nhops, 1e-12)
+    var = jnp.mean(jnp.abs(z_s - z_mean[:, None]) ** 2, axis=1)
+    metric = n_data_total * jnp.abs(z_mean) ** 2 / jnp.maximum(var, 1e-9)
     results = []
-    for ics, occ, nbits in users:
-        cfg = dataclasses.replace(common, initial_cyclic_shift=ics,
-                                  time_domain_occ=occ, nof_harq_bits=nbits)
-        results.append(detect_format1(grid, cfg, threshold, ncs))
+    for ui, (_, _, nbits) in enumerate(users):
+        if nbits == 1:
+            bits = jnp.asarray([jnp.real(d_hat[ui]) < 0], dtype=jnp.int8)
+        else:
+            bits = jnp.asarray([jnp.real(d_hat[ui]) < 0,
+                                jnp.imag(d_hat[ui]) < 0], dtype=jnp.int8)
+        results.append({"detected": metric[ui] > threshold,
+                        "metric": metric[ui], "harq_bits": bits,
+                        "symbol": d_hat[ui]})
     return results
 
 

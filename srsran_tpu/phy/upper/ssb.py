@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -224,6 +225,57 @@ def pbch_dmrs(cfg: SsbConfig) -> jnp.ndarray:
     return modulate(bits, "qpsk")[0]
 
 
+# ---------------------------------------------------- fused PBCH (one matmul)
+
+@functools.lru_cache(maxsize=None)
+def _fused_pbch_maps(cfg: SsbConfig):
+    """Host GF(2) maps collapsing the whole §7.1 PBCH chain to one matmul.
+
+    Payload interleave, first scrambling, CRC24C attach, polar allocate +
+    encode + rate match, and second scrambling are all linear/affine over
+    GF(2), so e[864] = mib @ M_mib  ^  s @ M_apr  ^  g, where s = the slot
+    timing bits XOR the first-scrambling mask (traced via slot_ctx_for) and
+    g is the static §7.3.3 scrambling word.  Returns (M_mib [24,864],
+    M_apr [32,864], g [864]).
+    """
+    from ...ops.gf2 import gf2_matmul
+    from ...ops.crc import _remainder_matrix
+
+    dest, _ = _payload_maps(cfg.sfn, cfg.hrf, cfg.ssb_idx, cfg.l_max,
+                            cfg.k_ssb)
+    m_enc = polar_ops.encode_matrix(_pbch_code())                 # [56, 864]
+    crc_m = _remainder_matrix("crc24C", PBCH_A).astype(np.uint8)  # [32, 24]
+    m_c = np.concatenate([np.eye(PBCH_A, dtype=np.uint8), crc_m], axis=1)
+    m_apr = gf2_matmul(m_c, m_enc).astype(np.uint8)               # [32, 864]
+    scatter = np.zeros((24, PBCH_A), dtype=np.uint8)
+    scatter[np.arange(24), dest] = 1
+    m_mib = gf2_matmul(scatter, m_apr).astype(np.uint8)           # [24, 864]
+    v = cfg.ssb_idx & (0b11 if cfg.l_max == 4 else 0b111)
+    g = gold_sequence_np(cfg.phys_cell_id, PBCH_MBIT,
+                         advance=v * PBCH_MBIT).astype(np.uint8)
+    return m_mib, m_apr, g
+
+
+@functools.lru_cache(maxsize=None)
+def _ssb_base_patch(cfg: SsbConfig):
+    """Host-constant [4, 240] patch with PSS/SSS/DM-RS prefilled, and the
+    PBCH data RE positions (all static per SSB config)."""
+    patch = np.zeros((SSB_NSYMB, SSB_NSC), dtype=np.complex64)
+    beta_pss = 10.0 ** (cfg.beta_pss_db / 20.0)
+    patch[0, 56:183] = pss_sequence(cfg.phys_cell_id % 3) * beta_pss
+    patch[2, 56:183] = sss_sequence(cfg.phys_cell_id // 3,
+                                    cfg.phys_cell_id % 3)
+    dmrs_pos, data_pos = _ssb_re_maps(cfg.phys_cell_id % 4)
+    ibar = _i_ssb_bar(cfg)
+    nid = cfg.phys_cell_id
+    c_init = ((1 << 11) * (ibar + 1) * (nid // 4 + 1)
+              + (1 << 6) * (ibar + 1) + (nid % 4)) % (1 << 31)
+    b = gold_sequence_np(c_init, 2 * 144).astype(np.float32)
+    dm = ((1 - 2 * b[0::2]) + 1j * (1 - 2 * b[1::2])) / np.sqrt(2)
+    patch[dmrs_pos[:, 0], dmrs_pos[:, 1]] = dm.astype(np.complex64)
+    return patch, data_pos
+
+
 # ------------------------------------------------------------- SSB mapping
 
 @functools.lru_cache(maxsize=None)
@@ -244,19 +296,41 @@ def _ssb_re_maps(v: int):
 
 
 def ssb_block(cfg: SsbConfig, mib24, slot_ctx=None) -> jnp.ndarray:
-    """Produce the dense [4, 240] SSB patch (amplitudes per TS38.213 SSS ref)."""
-    patch = jnp.zeros((SSB_NSYMB, SSB_NSC), dtype=jnp.complex64)
-    beta_pss = 10.0 ** (cfg.beta_pss_db / 20.0)
-    pss = jnp.asarray(pss_sequence(cfg.phys_cell_id % 3)) * beta_pss
-    sss = jnp.asarray(sss_sequence(cfg.phys_cell_id // 3, cfg.phys_cell_id % 3))
-    patch = patch.at[0, 56:183].set(pss.astype(jnp.complex64))
-    patch = patch.at[2, 56:183].set(sss.astype(jnp.complex64))
-    dmrs_pos, data_pos = _ssb_re_maps(cfg.phys_cell_id % 4)
-    patch = patch.at[jnp.asarray(dmrs_pos[:, 0]), jnp.asarray(dmrs_pos[:, 1])].set(
-        pbch_dmrs(cfg))
-    data = pbch_modulate(pbch_encode(cfg, mib24, slot_ctx), cfg)
-    patch = patch.at[jnp.asarray(data_pos[:, 0]), jnp.asarray(data_pos[:, 1])].set(data)
-    return patch
+    """Produce the dense [4, 240] SSB patch (amplitudes per TS38.213 SSS ref).
+
+    Fused TPU path: PSS/SSS/DM-RS are a host-constant base patch; the whole
+    PBCH bit chain is one GF(2) matmul (see _fused_pbch_maps) + QPSK + one
+    scatter — versus the reference's six-stage pbch_encoder/modulator
+    pipeline.  tests/test_ssb.py asserts equality with the step-by-step
+    chain (pbch_encode/pbch_modulate).
+    """
+    m_mib, m_apr, g = _fused_pbch_maps(cfg)
+    base, data_pos = _ssb_base_patch(cfg)
+    mib = jnp.asarray(mib24).astype(jnp.int8)
+    if slot_ctx is None:
+        _, static = _payload_maps(cfg.sfn, cfg.hrf, cfg.ssb_idx, cfg.l_max,
+                                  cfg.k_ssb)
+        mask = _scramble_mask(cfg.phys_cell_id, cfg.sfn, cfg.l_max)
+        s_np = (static.astype(np.uint8) ^ mask.astype(np.uint8))
+        const = ((s_np.astype(np.uint32) @ m_apr.astype(np.uint32)) & 1) ^ g
+        acc = jnp.matmul(mib, jnp.asarray(m_mib.astype(np.int8)),
+                         preferred_element_type=jnp.int32)
+        bits = (acc + jnp.asarray(const.astype(np.int32))) & 1
+    else:
+        static_t, mask_t = slot_ctx
+        s = (jnp.asarray(static_t).astype(jnp.int8)
+             ^ jnp.asarray(mask_t).astype(jnp.int8))
+        v = jnp.concatenate([mib, s])                            # [56]
+        m_full = np.concatenate([m_mib, m_apr], axis=0).astype(np.int8)
+        acc = jnp.matmul(v, jnp.asarray(m_full),
+                         preferred_element_type=jnp.int32)
+        bits = (acc + jnp.asarray(g.astype(np.int32))) & 1
+    re = 1.0 - 2.0 * bits[0::2].astype(jnp.float32)
+    im = 1.0 - 2.0 * bits[1::2].astype(jnp.float32)
+    data = jax.lax.complex(re, im) * np.float32(1.0 / np.sqrt(2.0))
+    patch = jnp.asarray(base)
+    return patch.at[jnp.asarray(data_pos[:, 0]),
+                    jnp.asarray(data_pos[:, 1])].set(data)
 
 
 def map_ssb_to_grid(grid: jnp.ndarray, cfg: SsbConfig, mib24,

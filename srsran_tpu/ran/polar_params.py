@@ -81,7 +81,10 @@ def polar_code(k: int, e: int, nmax: int = 9, ibil: bool = False,
     nmax = 9 for DL (PBCH/PDCCH), 10 for UL (PUCCH/PUSCH UCI).
     DL implies the input interleaver (i_IL = 1); UL implies ibil.
     """
-    assert k >= 1 and e <= (1 << nmax) * 2 + 192  # sanity
+    # E may exceed the mother code length by a large factor (repetition
+    # mode, TS38.212 §5.4.1.1 allows E up to 8192 — e.g. PDCCH AL16 has
+    # E = 1728 over N = 512).
+    assert k >= 1 and e <= 8192  # sanity
     # n determination
     cl2e = int(np.ceil(np.log2(e)))
     if e <= (9 / 8) * (1 << (cl2e - 1)) and k / e < 9 / 16:

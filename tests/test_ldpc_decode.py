@@ -84,3 +84,45 @@ def test_segment_params_examples():
     assert p2.cb_info_bits * p2.nof_codeblocks == 20016 + 24 + 3 * 24
     p3 = ldpc_params.segment_tb(200, 2)
     assert p3.base_graph == 2 and p3.nof_codeblocks == 1
+
+
+def test_rate_match_batch_slice_path_matches_index_plan():
+    """The slice/transpose fast path must reproduce the §5.4.2 index-plan
+    semantics exactly, for both E classes, all rv, filler bits, and Ncb."""
+    import jax.numpy as jnp
+    from srsran_tpu.ops.ldpc_rate_match import (
+        _tb_plan, rate_match_batch, rate_dematch_batch)
+    rng = np.random.default_rng(5)
+    cases = [
+        # (bg, z, k_prime, c, qm, nl, g_total, n_ref)
+        (1, 64, 64 * 20, 3, 8, 4, 8 * 4 * 3 * 700, 0),
+        (2, 52, 52 * 9, 2, 4, 1, 4 * 2 * 1100, 0),
+        (1, 384, 384 * 21, 4, 6, 2, 6 * 2 * 4 * 2000, 20000),
+    ]
+    for bg, z, k_prime, c, qm, nl, g_total, n_ref in cases:
+        k = (22 if bg == 1 else 10) * z
+        n = (66 if bg == 1 else 50) * z - 2 * z
+        unit = nl * qm
+        base = unit * (g_total // (unit * c))
+        gamma = (g_total // unit) % c
+        e_sizes = tuple(base if j < c - gamma else base + unit
+                        for j in range(c))
+        cws = rng.integers(0, 2, (c, n)).astype(np.int8)
+        for rv in range(4):
+            plan = _tb_plan(e_sizes, rv, qm, bg, z, k_prime, k, n, n_ref)
+            want = cws.reshape(-1)[plan]
+            got = np.asarray(rate_match_batch(
+                jnp.asarray(cws), e_sizes, rv, qm, bg, z, k_prime, k, n_ref))
+            np.testing.assert_array_equal(got, want)
+            # dematch: scatter-add semantics vs the slice path
+            llrs = rng.normal(size=sum(e_sizes)).astype(np.float32)
+            want_buf = np.zeros(c * n, np.float32)
+            np.add.at(want_buf, plan, llrs)
+            want_buf = want_buf.reshape(c, n)
+            fs, fe = k_prime - 2 * z, k - 2 * z
+            if fe > fs:
+                want_buf[:, fs:fe] = 1e4
+            got_buf = np.asarray(rate_dematch_batch(
+                jnp.asarray(llrs), c, e_sizes, rv, qm, bg, z, k_prime, k, n,
+                n_ref))
+            np.testing.assert_allclose(got_buf, want_buf, rtol=1e-5, atol=1e-5)

@@ -59,3 +59,27 @@ def test_group_hopping_values():
     u2, _ = group_hopping(301, group_hopping_enabled=True, slot=3, symbol=6)
     # hopping should change the group between symbols (overwhelmingly likely)
     assert (u1, u2) != (u0, u0)
+
+
+def test_fused_dci_chain_matches_stepwise():
+    """_fused_dci_maps (one matmul) == encode_dci + scramble_bits."""
+    import numpy as np
+    import jax.numpy as jnp
+    from srsran_tpu.phy.upper import pdcch
+    from srsran_tpu.ops.scrambling import scramble_bits
+    rng = np.random.default_rng(3)
+    for a, al, rnti, n_rnti, n_id in [(39, 4, 0x4601, 0, 1),
+                                      (60, 8, 0xFFFE, 0x4601, 777),
+                                      (12, 1, 1, 0, 0), (128, 16, 17, 17, 2)]:
+        payload = rng.integers(0, 2, a).astype(np.int8)
+        cfg = pdcch.PdcchConfig(
+            coreset=pdcch.CoresetConfig(rb_start=0, nof_rb=96,
+                                        start_symbol=0, duration=1),
+            rnti=rnti, aggregation_level=al, cce_index=0, payload_bits=a,
+            n_id=n_id, n_id_data=n_id, n_rnti=n_rnti)
+        want = np.asarray(scramble_bits(
+            pdcch.encode_dci(jnp.asarray(payload), cfg)[None],
+            ((n_rnti << 16) + n_id) % (1 << 31))[0])
+        m, const = pdcch._fused_dci_maps(a, 108 * al, rnti, n_rnti, n_id)
+        got = ((payload.astype(np.int32) @ m.astype(np.int32) + const) & 1)
+        np.testing.assert_array_equal(got.astype(np.int8), want)

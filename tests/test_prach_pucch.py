@@ -247,3 +247,37 @@ def test_pucch_f1_frequency_hopping(bits):
     res = pucch.detect_format1(jnp.asarray(g.astype(np.complex64)), cfg)
     assert bool(res["detected"]), float(res["metric"])
     np.testing.assert_array_equal(np.asarray(res["harq_bits"]), bits)
+
+
+def test_f1_batch_matches_per_user_detection():
+    """detect_format1_batch == per-user detect_format1 (values, not just
+    decisions), including frequency hopping and traced ncs."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+    from srsran_tpu.phy.upper import pucch as P
+    rng = np.random.default_rng(11)
+    grid = jnp.asarray((rng.normal(size=(2, 14, 600))
+                        + 1j * rng.normal(size=(2, 14, 600))
+                        ).astype(np.complex64) * 0.1)
+    for hop in (None, 7):
+        common = P.PucchF1Config(prb=3, start_symbol=0, nof_symbols=12,
+                                 initial_cyclic_shift=0, time_domain_occ=0,
+                                 n_id=17, slot=2, second_hop_prb=hop)
+        users = ((0, 0, 1), (3, 1, 2), (6, 2, 1))
+        batch = P.detect_format1_batch(grid, common, users)
+        for (ics, occ, nb), br in zip(users, batch):
+            cfg = dc.replace(common, initial_cyclic_shift=ics,
+                             time_domain_occ=occ, nof_harq_bits=nb)
+            single = P.detect_format1(grid, cfg)
+            np.testing.assert_allclose(float(br["metric"]),
+                                       float(single["metric"]), rtol=1e-4)
+            np.testing.assert_allclose(complex(br["symbol"]),
+                                       complex(single["symbol"]), rtol=1e-4)
+            np.testing.assert_array_equal(np.asarray(br["harq_bits"]),
+                                          np.asarray(single["harq_bits"]))
+        # traced ncs path
+        ncs = jnp.asarray(P.ncs_for(common.n_id, common.slot))
+        batch2 = P.detect_format1_batch(grid, common, users, ncs=ncs)
+        for br, b2 in zip(batch, batch2):
+            np.testing.assert_allclose(float(b2["metric"]),
+                                       float(br["metric"]), rtol=1e-4)

@@ -82,3 +82,29 @@ def test_ssb_ofdm_loopback_pbch_decodes():
     sfn_lsbs = (a_np[ssb._G[6]] << 3) | (a_np[ssb._G[7]] << 2) | \
                (a_np[ssb._G[8]] << 1) | a_np[ssb._G[9]]
     assert sfn_lsbs == cfg.sfn % 16
+
+
+def test_ssb_block_fused_matches_stepwise_chain():
+    """The one-matmul fused PBCH path must equal pbch_encode+pbch_modulate,
+    with and without the traced slot context, across SFN/ssb_idx/l_max."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(9)
+    for nid, idx, lmax, sfn, hrf in [(1, 0, 8, 0, False), (500, 3, 8, 777, True),
+                                     (261, 5, 64, 123, False), (7, 1, 4, 42, True)]:
+        cfg = ssb.SsbConfig(phys_cell_id=nid, ssb_idx=idx, l_max=lmax,
+                            sfn=sfn, hrf=hrf, first_symbol=0,
+                            first_subcarrier=0)
+        mib = rng.integers(0, 2, 24).astype(np.int8)
+        # step-by-step chain (kept as the reference semantics)
+        want = np.asarray(ssb.pbch_modulate(ssb.pbch_encode(cfg, mib), cfg))
+        _, data_pos = ssb._ssb_re_maps(nid % 4)
+        got = np.asarray(ssb.ssb_block(cfg, jnp.asarray(mib)))
+        got_data = got[data_pos[:, 0], data_pos[:, 1]]
+        np.testing.assert_allclose(got_data, want, atol=1e-6)
+        # traced slot-ctx path
+        ctx = ssb.slot_ctx_for(cfg)
+        got2 = np.asarray(ssb.ssb_block(
+            cfg, jnp.asarray(mib),
+            (jnp.asarray(ctx[0]), jnp.asarray(ctx[1]))))
+        np.testing.assert_allclose(got2[data_pos[:, 0], data_pos[:, 1]],
+                                   want, atol=1e-6)
