@@ -57,7 +57,22 @@ def main():
           f"{cfg.cell.nof_ports} ports, {len(cfg.ues)} UE(s), "
           f"{cfg.nof_slots} slots on {jax.devices()[0]}")
 
-    mac = TestModeMac(cfg.cell, cfg.phys_cell_id, cfg.ues, cfg.tdd, cfg.seed)
+    use_sched = cfg.mac == "sched"
+    if use_sched:
+        from srsran_tpu.mac.scheduler import CellScheduler, SchedUeConfig
+        sched = CellScheduler(
+            cfg.cell, cfg.phys_cell_id,
+            ues=[SchedUeConfig(rnti=u.rnti, mcs_table=u.mcs_table,
+                               dl_mcs=u.mcs_index,
+                               ul_mcs=min(u.mcs_index, 25),
+                               nof_layers_dl=u.nof_layers_dl,
+                               nof_layers_ul=u.nof_layers_ul)
+                 for u in cfg.ues],
+            tdd=cfg.tdd, seed=cfg.seed)
+        mac = None
+    else:
+        mac = TestModeMac(cfg.cell, cfg.phys_cell_id, cfg.ues, cfg.tdd,
+                          cfg.seed)
     fapi_pcap = None
     if args.pcap:
         from srsran_tpu.utils.pcap import FapiPcap
@@ -96,25 +111,39 @@ def main():
         progress["slot"] = count
         slot = SlotPoint(cfg.cell.numerology, count)
         with tracing.app_tracer.span("slot", count=count):
+            if use_sched:
+                dl, tx, ul = sched.slot_indication(slot)
+            else:
+                dl = tx = ul = None
             if cfg.tdd.is_dl(slot.count):
-                dl, tx = mac.dl_requests(slot)
+                if not use_sched:
+                    dl, tx = mac.dl_requests(slot)
                 if dl.pdsch or dl.ssb:
                     with m_dl.measure(units=1), \
                          tracing.l1_dl_tracer.span("dl_slot"):
                         samples, _ = cond.process_dl(dl, tx)
                     dl_slots += 1
             if cfg.tdd.is_ul(slot.count):
-                ul = mac.ul_requests(slot)
+                if not use_sched:
+                    ul = mac.ul_requests(slot)
                 if ul.pusch:
                     # UE TX emulation: run the same chain as a waveform source
-                    ue_tx = _emulate_ue(cond, mac, ul, cfg)
+                    ue_tx = _emulate_ue(cond, mac, ul, cfg,
+                                        sched if use_sched else None)
                     with m_ul.measure(units=1), \
                          tracing.l1_ul_tracer.span("ul_slot"):
                         res = cond.process_ul(ul, ue_tx)
-                    for c in res.crc:
+                    for c, (hid, _) in zip(res.crc, ul.pusch_harq or ()):
                         crc_ok += int(c.tb_crc_ok)
                         crc_fail += int(not c.tb_crc_ok)
+                        if use_sched:
+                            sched.handle_crc(c.rnti, hid,
+                                             bool(c.tb_crc_ok), c.snr_db)
+                    if use_sched:
+                        sched.handle_uci_indications(slot.count, res.uci)
                     ul_slots += 1
+                elif use_sched:
+                    sched.handle_uci_indications(slot.count, [])
     elapsed = time.monotonic() - t_start
     if remote is not None:
         remote.stop()
@@ -126,6 +155,8 @@ def main():
           f"({cfg.nof_slots / elapsed:.0f} slots/s wall; "
           f"{dl_slots} DL, {ul_slots} UL)")
     print(f"UL CRC: {crc_ok} ok / {crc_fail} failed")
+    if use_sched:
+        print(f"scheduler: {sched.counters}")
     for s in registry.report():
         if s.get("count"):
             print(f"  {s['name']}: avg {s['lat_us_avg']:.0f}us "
@@ -139,10 +170,16 @@ def main():
 
 
 _UE_CACHE = {}
+_UE_HARQ_TBS = {}   # UE-side HARQ buffers: (rnti, harq_id) -> payload bits
 
 
-def _emulate_ue(cond, mac, ul, cfg):
-    """Build the UL waveform for this slot's PUSCH PDUs (UE-side TX)."""
+def _emulate_ue(cond, mac, ul, cfg, sched=None):
+    """Build the UL waveform for this slot's PUSCH PDUs (UE-side TX).
+
+    In scheduler mode (sched not None), HARQ retransmissions resend the
+    SAME transport block (UE HARQ buffer), and PUCCH F1 occasions carry
+    ACKs so the DL HARQ feedback loop closes.
+    """
     import numpy as np
     import jax.numpy as jnp
     from srsran_tpu.phy.slot_programs import CellConfig, dl_slot_fn
@@ -150,8 +187,10 @@ def _emulate_ue(cond, mac, ul, cfg):
     from srsran_tpu.emulation import channel as chan
     import jax
 
+    rng = (sched.rng if sched is not None else mac.rng)
+    harq_meta = ul.pusch_harq or tuple((0, True) for _ in ul.pusch)
     pd_cfgs, payloads = [], []
-    for pu in ul.pusch:
+    for pu, (hid, new) in zip(ul.pusch, harq_meta):
         pd_cfgs.append(PdschConfig(
             rnti=pu.rnti, rb_start=pu.rb_start, rb_count=pu.rb_count,
             first_symbol=pu.first_symbol, nof_symbols=pu.nof_symbols,
@@ -160,8 +199,16 @@ def _emulate_ue(cond, mac, ul, cfg):
             dmrs_symbols=pu.dmrs_symbols,
             dmrs_scrambling_id=pu.dmrs_scrambling_id,
             slot_in_frame=pu.slot_in_frame))
-        payloads.append(jnp.asarray(
-            mac.rng.integers(0, 2, pu.tbs).astype(np.int8)))
+        key = (pu.rnti, hid)
+        if sched is None:
+            tb = rng.integers(0, 2, pu.tbs).astype(np.int8)
+        else:
+            if new or key not in _UE_HARQ_TBS \
+                    or len(_UE_HARQ_TBS[key]) != pu.tbs:
+                _UE_HARQ_TBS[key] = rng.integers(
+                    0, 2, pu.tbs).astype(np.int8)
+            tb = _UE_HARQ_TBS[key]
+        payloads.append(jnp.asarray(tb))
     from srsran_tpu.fapi.conductor import normalize_dl_plan
     from srsran_tpu.fapi.messages import DlTtiRequest
     ue_cell = CellConfig(nof_ports=cfg.cell.nof_ports, nof_rb=cfg.cell.nof_rb,
@@ -173,6 +220,17 @@ def _emulate_ue(cond, mac, ul, cfg):
     slot_in_sf = ul.slot.subframe_slot_index
     fn = dl_slot_fn(ue_cell, plan, slot_in_sf)
     samples, grid = fn((), (), tuple(payloads), ctx)
+    if sched is not None and ul.pucch_f1:
+        # UE transmits ACKs on its PUCCH F1 occasions (bit 0 = ACK).
+        from srsran_tpu.phy.upper import pucch as pucch_mod
+        from srsran_tpu.ops import ofdm as ofdm_mod
+        for fc in ul.pucch_f1:
+            grid = pucch_mod.transmit_format1(
+                grid, fc, [0] * max(fc.nof_harq_bits, 1))
+        samples = ofdm_mod.modulate_slot(
+            grid, cfg.cell.dft_size, cfg.cell.numerology,
+            slot_in_subframe=slot_in_sf,
+            center_freq_hz=cfg.cell.center_freq_hz)
     if cfg.channel_profile != "none":
         ch = chan.ChannelConfig(
             profile=cfg.channel_profile, sinr_db=cfg.channel_sinr_db,

@@ -1,0 +1,533 @@
+"""Cell MAC scheduler: time-RR UE scheduling + HARQ manager + RA procedure.
+
+Host-side analogue of the reference's lib/scheduler core
+(scheduler_impl::slot_indication at lib/scheduler/scheduler_impl.h:50,
+cell_scheduler::run_slot ordering at lib/scheduler/cell_scheduler.cpp:89-150,
+time-RR policy lib/scheduler/policy/scheduler_time_rr.cpp, HARQ manager
+lib/scheduler/cell/cell_harq_manager.*).  The full reference scheduler is
+40k LoC of C++; this is the deployable core the SURVEY north star calls
+for — a thin host driver that feeds the TPU PHY FAPI-shaped slot requests:
+
+- per-slot ordering: SSB -> SIB1 -> PRACH occasions -> RAR -> UE DL/UL
+  (the reference's run_slot sequence, minus paging/slicing);
+- time-domain round robin over UEs with pending data, HARQ
+  retransmissions first (scheduler_time_rr semantics);
+- HARQ entities with 8+8 processes per UE, rv sequence (0, 2, 3, 1),
+  configurable max retransmissions; CRC/UCI indications drive ack/nack;
+- link adaptation: reported PUSCH SNR -> UL MCS via a spectral-efficiency
+  threshold walk (the reference maps CQI tables similarly);
+- RA procedure: rach_indication -> TC-RNTI allocation + RAR grant for
+  Msg3 on the next UL slot (mac_rach_handler + ra_scheduler analogue).
+
+The scheduler emits the same (DlTtiRequest, TxDataRequest, UlTtiRequest)
+the test-mode MAC does, so it drops into gnb_sim / the split-6 du_low
+unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..ran.slot_point import SlotPoint
+from ..ran.tdd import TddPattern
+from ..ran.mcs_tbs import mcs_config, tbs as tbs_calc, TABLES
+from ..phy.slot_programs import CellConfig
+from ..phy.upper.ssb import SsbConfig
+from ..phy.upper.pdsch import PdschConfig
+from ..phy.upper.pdcch import PdcchConfig, CoresetConfig
+from ..phy.upper.pusch import PuschConfig
+from ..phy.upper.pucch import PucchF1Config
+from ..phy.upper.prach import PrachConfig
+from ..fapi.messages import DlTtiRequest, TxDataRequest, UlTtiRequest
+
+RV_SEQUENCE = (0, 2, 3, 1)          # TS38.214 §5.1.2; reference default
+NOF_HARQ_PROCESSES = 8
+
+
+@dataclasses.dataclass
+class HarqProcess:
+    """One DL or UL HARQ process (cell_harq_manager analogue)."""
+
+    active: bool = False
+    payload: np.ndarray | None = None   # DL: the TB to (re)send
+    cfg: object = None                  # the PdschConfig/PuschConfig in flight
+    nof_retx: int = 0
+    rv_idx: int = 0
+    awaiting_ack: bool = False
+
+    def new_tx(self, cfg, payload=None):
+        self.active = True
+        self.cfg = cfg
+        self.payload = payload
+        self.nof_retx = 0
+        self.rv_idx = 0
+        self.awaiting_ack = True
+
+    def retx(self):
+        self.nof_retx += 1
+        self.rv_idx = (self.rv_idx + 1) % len(RV_SEQUENCE)
+        self.awaiting_ack = True
+
+    @property
+    def rv(self) -> int:
+        return RV_SEQUENCE[self.rv_idx]
+
+    def stop(self):
+        self.active = False
+        self.payload = None
+        self.cfg = None
+        self.awaiting_ack = False
+
+
+@dataclasses.dataclass
+class SchedUeConfig:
+    rnti: int
+    mcs_table: str = "qam64"
+    dl_mcs: int = 27
+    ul_mcs: int = 25
+    nof_layers_dl: int = 2
+    nof_layers_ul: int = 1
+    # full-buffer by default; finite buffers drain per scheduled TBS
+    dl_buffer_bytes: int = -1        # -1 = full buffer
+    ul_buffer_bytes: int = -1
+
+
+class UeContext:
+    def __init__(self, cfg: SchedUeConfig):
+        self.cfg = cfg
+        self.dl_harq = [HarqProcess() for _ in range(NOF_HARQ_PROCESSES)]
+        self.ul_harq = [HarqProcess() for _ in range(NOF_HARQ_PROCESSES)]
+        self.dl_buffer = cfg.dl_buffer_bytes
+        self.ul_buffer = cfg.ul_buffer_bytes
+        self.last_ul_snr_db: float | None = None
+        self.ul_mcs = cfg.ul_mcs
+
+    def find_free(self, harqs) -> int | None:
+        for i, h in enumerate(harqs):
+            if not h.active:
+                return i
+        return None
+
+    def find_pending_retx(self, harqs) -> int | None:
+        for i, h in enumerate(harqs):
+            if h.active and not h.awaiting_ack:
+                return i
+        return None
+
+    def has_dl_data(self) -> bool:
+        return self.dl_buffer != 0
+
+    def has_ul_data(self) -> bool:
+        return self.ul_buffer != 0
+
+
+# Spectral-efficiency thresholds for UL link adaptation: minimum SNR (dB)
+# at which each qam64-table MCS sustains ~10% BLER over AWGN (coarse,
+# conservative; the reference maps CQI->MCS through similar tables in
+# lib/scheduler/ue_context/ue_link_adaptation_controller.cpp).
+_SNR_TO_MCS_DB = [(-4, 0), (-2, 2), (0, 4), (2, 6), (4, 8), (6, 10),
+                  (8, 12), (10, 14), (12, 16), (14, 18), (16, 20),
+                  (18, 22), (20, 24), (22, 26), (24, 28)]
+
+
+def snr_to_mcs(snr_db: float, table: str = "qam64") -> int:
+    mcs = 0
+    for thr, m in _SNR_TO_MCS_DB:
+        if snr_db >= thr:
+            mcs = m
+    return min(mcs, len(TABLES[table]) - 1)
+
+
+def _free_segments(lo: int, hi: int, occupied: list) -> list:
+    """Free [start, end) PRB segments of [lo, hi) after removing occupied."""
+    segs = []
+    cur = lo
+    for a, b in sorted(occupied):
+        if a > cur:
+            segs.append([cur, min(a, hi)])
+        cur = max(cur, b)
+    if cur < hi:
+        segs.append([cur, hi])
+    return [s for s in segs if s[1] > s[0]]
+
+
+def _take_segment(free: list, want_rb: int):
+    """Carve up to want_rb PRBs from the first non-empty free segment
+    (mutates `free`).  Returns (rb_start, rb_count) or None."""
+    for seg in free:
+        if seg[1] > seg[0]:
+            start = seg[0]
+            count = min(want_rb, seg[1] - seg[0])
+            seg[0] += count
+            return start, count
+    return None
+
+
+@dataclasses.dataclass
+class RaEvent:
+    preamble: int
+    tc_rnti: int
+    rar_pending: bool = True
+
+
+class CellScheduler:
+    """Per-cell MAC scheduler emitting FAPI-shaped slot requests.
+
+    slot_indication() must be called once per slot in order; indication
+    handlers (handle_crc, handle_uci, handle_rach) feed results back,
+    exactly like mac_cell_processor::handle_slot_indication +
+    the scheduler's HARQ/feedback entry points.
+    """
+
+    def __init__(self, cell: CellConfig, phys_cell_id: int = 1,
+                 ues: list | None = None, tdd: TddPattern | None = None,
+                 prach: PrachConfig | None = None,
+                 ssb_period_ms: int = 20, sib1_period_ms: int = 160,
+                 prach_period_slots: int = 40, max_harq_retx: int = 4,
+                 link_adaptation: bool = True, seed: int = 0):
+        self.cell = cell
+        self.pci = phys_cell_id
+        self.tdd = tdd or TddPattern()
+        self.prach_cfg = prach
+        self.ssb_period_ms = ssb_period_ms
+        self.sib1_period_ms = sib1_period_ms
+        self.prach_period_slots = prach_period_slots
+        self.max_harq_retx = max_harq_retx
+        self.link_adaptation = link_adaptation
+        self.rng = np.random.default_rng(seed)
+        self.ues: dict[int, UeContext] = {}
+        for u in (ues or []):
+            self.ues[u.rnti] = UeContext(u)
+        self._rr_dl = 0                     # round-robin cursors
+        self._rr_ul = 0
+        self._ra_events: list[RaEvent] = []
+        self._pucch_owners: dict[int, list[int]] = {}
+        self._next_tc_rnti = 0x4601 + len(self.ues)
+        self._dmrs_dl = (2, 11)
+        self._dmrs_ul = (2, 7, 11)
+        self._coreset = CoresetConfig(
+            rb_start=0, nof_rb=min(48, cell.nof_rb // 6 * 6),
+            start_symbol=0, duration=1)
+        # metrics counters (scheduler_metrics analogue)
+        self.counters = {"dl_tbs_bits": 0, "ul_tbs_bits": 0, "dl_tx": 0,
+                         "ul_tx": 0, "dl_retx": 0, "ul_retx": 0,
+                         "rar_tx": 0, "crc_ok": 0, "crc_nok": 0}
+
+    # ------------------------------------------------------------ slot run
+
+    def slot_indication(self, slot: SlotPoint):
+        """cell_scheduler::run_slot ordering: SSB -> SIB1 -> PRACH -> RAR ->
+        UE DL/UL (lib/scheduler/cell_scheduler.cpp:89-150)."""
+        dl_pdsch, dl_pdcch, payloads, dcis = [], [], [], []
+        ssb, mibs = (), ()
+        slots_per_ms = slot.nof_slots_per_subframe()
+        is_dl = self.tdd.is_dl(slot.count)
+        is_ul = self.tdd.is_ul(slot.count)
+
+        used_rb_dl = 0
+        if is_dl and slot.slot_index == 0 \
+                and slot.sfn % max(self.ssb_period_ms // 10, 1) == 0:
+            ssb = (SsbConfig(
+                phys_cell_id=self.pci, ssb_idx=0, l_max=8, sfn=slot.sfn,
+                first_symbol=2,
+                first_subcarrier=(self.cell.nof_sc - 240) // 2),)
+            mibs = (self.rng.integers(0, 2, 24).astype(np.int8),)
+
+        # SIB1: a broadcast PDSCH with SI-RNTI on its period (offset to a
+        # slot that is DL under the TDD pattern and SSB-free).
+        if is_dl and slot.count % (self.sib1_period_ms * slots_per_ms) == 1:
+            si_rb = min(24, self.cell.nof_rb)
+            cfg = PdschConfig(
+                rnti=0xFFFF, rb_start=0, rb_count=si_rb, first_symbol=1,
+                nof_symbols=12, modulation="qpsk", target_code_rate=0.12,
+                tbs=1736, nof_layers=1, n_id=self.pci,
+                dmrs_symbols=self._dmrs_dl, dmrs_scrambling_id=self.pci,
+                numerology=self.cell.numerology,
+                slot_in_frame=slot.slot_index)
+            dl_pdsch.append(cfg)
+            payloads.append(self.rng.integers(0, 2, cfg.tbs).astype(np.int8))
+            dl_pdcch.append(self._dci_for(0xFFFF, len(dl_pdcch)))
+            dcis.append(self.rng.integers(0, 2, 40).astype(np.int8))
+            used_rb_dl += si_rb
+
+        # RAR for pending RA events (ra_scheduler analogue): DL PDSCH with
+        # RA-RNTI carrying the Msg3 grant; creates the UE context.
+        if is_dl:
+            for ev in [e for e in self._ra_events if e.rar_pending]:
+                rar_rb = min(6, self.cell.nof_rb - used_rb_dl)
+                if rar_rb <= 0:
+                    break
+                cfg = PdschConfig(
+                    rnti=0x0001 + ev.preamble, rb_start=used_rb_dl,
+                    rb_count=rar_rb, first_symbol=1, nof_symbols=12,
+                    modulation="qpsk", target_code_rate=0.12, tbs=456,
+                    nof_layers=1, n_id=self.pci, dmrs_symbols=self._dmrs_dl,
+                    dmrs_scrambling_id=self.pci,
+                    numerology=self.cell.numerology,
+                    slot_in_frame=slot.slot_index)
+                dl_pdsch.append(cfg)
+                payloads.append(
+                    self.rng.integers(0, 2, cfg.tbs).astype(np.int8))
+                dl_pdcch.append(self._dci_for(cfg.rnti, len(dl_pdcch)))
+                dcis.append(self.rng.integers(0, 2, 40).astype(np.int8))
+                used_rb_dl += rar_rb
+                ev.rar_pending = False
+                self.counters["rar_tx"] += 1
+                if ev.tc_rnti not in self.ues:
+                    self.ues[ev.tc_rnti] = UeContext(
+                        SchedUeConfig(rnti=ev.tc_rnti))
+
+        # UE DL: retransmissions first, then new TX round-robin.
+        if is_dl:
+            dl_list = self._schedule_dl(slot, used_rb_dl)
+            for cfg, payload in dl_list:
+                dl_pdsch.append(cfg)
+                payloads.append(payload)
+                dl_pdcch.append(self._dci_for(cfg.rnti, len(dl_pdcch)))
+                dcis.append(self.rng.integers(0, 2, 40).astype(np.int8))
+
+        dl = DlTtiRequest(slot=slot, ssb=ssb, pdcch=tuple(dl_pdcch),
+                          pdsch=tuple(dl_pdsch))
+        tx = TxDataRequest(slot=slot, pdsch_payloads=tuple(payloads),
+                           pdcch_payloads=tuple(dcis), ssb_mib=mibs)
+
+        # UL slot: PRACH occasion on its period, then PUSCH + PUCCH.
+        pusch, harq_meta, pucch = [], [], []
+        prach = ()
+        if is_ul:
+            if self.prach_cfg is not None and \
+                    slot.count % self.prach_period_slots == \
+                    self.prach_period_slots - 1:
+                prach = (self.prach_cfg,)
+            pusch, harq_meta = self._schedule_ul(slot)
+            # one PUCCH F1 occasion per UE with a DL HARQ awaiting ACK
+            # (simplified UCI allocator: shared PRB, distinct cyclic shifts)
+            ics = 0
+            owners = []
+            for rnti, ue in self.ues.items():
+                if any(h.active and h.awaiting_ack for h in ue.dl_harq):
+                    pucch.append(PucchF1Config(
+                        prb=self.cell.nof_rb - 1, start_symbol=0,
+                        nof_symbols=14, initial_cyclic_shift=ics % 12,
+                        time_domain_occ=0, n_id=self.pci,
+                        slot=slot.slot_index))
+                    owners.append(rnti)
+                    ics += 3
+            self._pucch_owners[slot.count] = owners
+        ul = UlTtiRequest(slot=slot, pusch=tuple(pusch),
+                          pusch_harq=tuple(harq_meta),
+                          pucch_f1=tuple(pucch), prach=prach)
+        return dl, tx, ul
+
+    # ----------------------------------------------------------- policies
+
+    def _dci_for(self, rnti: int, idx: int) -> PdcchConfig:
+        nof_cce = self._coreset.nof_rb // 6
+        return PdcchConfig(
+            coreset=self._coreset, rnti=rnti, aggregation_level=4,
+            cce_index=(4 * idx) % max(nof_cce - 3, 1), payload_bits=40,
+            n_id=self.pci, n_id_data=self.pci)
+
+    def _rr_order(self, cursor: int) -> list:
+        keys = sorted(self.ues.keys())
+        if not keys:
+            return []
+        k = cursor % len(keys)
+        return keys[k:] + keys[:k]
+
+    def _schedule_dl(self, slot: SlotPoint, used_rb: int):
+        """Time-RR with retx priority (scheduler_time_rr.cpp semantics)."""
+        out = []
+        avail = self.cell.nof_rb - used_rb
+        order = self._rr_order(self._rr_dl)
+        self._rr_dl += 1
+        # retransmissions keep their original allocation size
+        cands_retx, cands_new = [], []
+        for rnti in order:
+            ue = self.ues[rnti]
+            if ue.find_pending_retx(ue.dl_harq) is not None:
+                cands_retx.append(rnti)
+            elif ue.has_dl_data() and ue.find_free(ue.dl_harq) is not None:
+                cands_new.append(rnti)
+        grants = cands_retx + cands_new
+        if not grants:
+            return out
+        # Retransmissions keep their original PRB allocation (HARQ soft
+        # buffers are allocation-shaped); new grants fill around them.
+        occupied = []
+        for rnti in cands_retx:
+            ue = self.ues[rnti]
+            h = ue.dl_harq[ue.find_pending_retx(ue.dl_harq)]
+            h.retx()
+            cfg = dataclasses.replace(
+                h.cfg, rv=h.rv, slot_in_frame=slot.slot_index)
+            h.cfg = cfg
+            out.append((cfg, h.payload))
+            occupied.append((cfg.rb_start, cfg.rb_start + cfg.rb_count))
+            self.counters["dl_retx"] += 1
+        free = _free_segments(used_rb, self.cell.nof_rb, occupied)
+        avail = sum(b - a for a, b in free)
+        if not cands_new or avail <= 0:
+            return out
+        rb_share = max(avail // len(cands_new), 1)
+        for rnti in cands_new:
+            ue = self.ues[rnti]
+            seg = _take_segment(free, rb_share)
+            if seg is None:
+                break
+            rb_cursor, rb_count = seg
+            hid = ue.find_free(ue.dl_harq)
+            mod, rate = mcs_config(ue.cfg.mcs_table, ue.cfg.dl_mcs)
+            t = tbs_calc(rb_count, 12, 12 * len(self._dmrs_dl), mod, rate,
+                         ue.cfg.nof_layers_dl)
+            if ue.dl_buffer > 0:
+                t = min(t, ue.dl_buffer * 8)
+                ue.dl_buffer = max(ue.dl_buffer - t // 8, 0)
+            cfg = PdschConfig(
+                rnti=rnti, rb_start=rb_cursor, rb_count=rb_count,
+                first_symbol=1, nof_symbols=12, modulation=mod,
+                target_code_rate=rate, tbs=t,
+                nof_layers=ue.cfg.nof_layers_dl, n_id=self.pci,
+                dmrs_symbols=self._dmrs_dl, dmrs_scrambling_id=self.pci,
+                numerology=self.cell.numerology,
+                slot_in_frame=slot.slot_index)
+            payload = self.rng.integers(0, 2, t).astype(np.int8)
+            ue.dl_harq[hid].new_tx(cfg, payload)
+            out.append((cfg, payload))
+            self.counters["dl_tx"] += 1
+            self.counters["dl_tbs_bits"] += t
+        return out
+
+    def _schedule_ul(self, slot: SlotPoint):
+        pusch, meta = [], []
+        avail = self.cell.nof_rb - 1          # last PRB for PUCCH
+        order = self._rr_order(self._rr_ul)
+        self._rr_ul += 1
+        cands = []
+        for rnti in order:
+            ue = self.ues[rnti]
+            if ue.find_pending_retx(ue.ul_harq) is not None or (
+                    ue.has_ul_data()
+                    and ue.find_free(ue.ul_harq) is not None):
+                cands.append(rnti)
+        if not cands:
+            return pusch, meta
+        occupied = []
+        cands_new = []
+        for rnti in cands:
+            ue = self.ues[rnti]
+            hid = ue.find_pending_retx(ue.ul_harq)
+            if hid is None:
+                cands_new.append(rnti)
+                continue
+            h = ue.ul_harq[hid]
+            h.retx()
+            cfg = dataclasses.replace(
+                h.cfg, rv=h.rv, slot_in_frame=slot.slot_index)
+            h.cfg = cfg
+            pusch.append(cfg)
+            meta.append((hid, False))         # soft-combine
+            occupied.append((cfg.rb_start, cfg.rb_start + cfg.rb_count))
+            self.counters["ul_retx"] += 1
+        free = _free_segments(0, avail, occupied)
+        n_free = sum(b - a for a, b in free)
+        if not cands_new or n_free <= 0:
+            return pusch, meta
+        rb_share = max(n_free // len(cands_new), 1)
+        for rnti in cands_new:
+            ue = self.ues[rnti]
+            seg = _take_segment(free, rb_share)
+            if seg is None:
+                break
+            rb_cursor, rb_count = seg
+            hid = ue.find_free(ue.ul_harq)
+            mcs = ue.ul_mcs if self.link_adaptation else ue.cfg.ul_mcs
+            mod, rate = mcs_config(ue.cfg.mcs_table, mcs)
+            t = tbs_calc(rb_count, 14, 12 * len(self._dmrs_ul), mod, rate,
+                         ue.cfg.nof_layers_ul)
+            if ue.ul_buffer > 0:
+                t = min(t, ue.ul_buffer * 8)
+                ue.ul_buffer = max(ue.ul_buffer - t // 8, 0)
+            cfg = PuschConfig(
+                rnti=rnti, rb_start=rb_cursor, rb_count=rb_count,
+                first_symbol=0, nof_symbols=14, modulation=mod,
+                target_code_rate=rate, tbs=t,
+                nof_layers=ue.cfg.nof_layers_ul, n_id=self.pci,
+                dmrs_symbols=self._dmrs_ul, dmrs_scrambling_id=self.pci,
+                numerology=self.cell.numerology,
+                slot_in_frame=slot.slot_index)
+            ue.ul_harq[hid].new_tx(cfg)
+            pusch.append(cfg)
+            meta.append((hid, True))
+            self.counters["ul_tx"] += 1
+            self.counters["ul_tbs_bits"] += t
+        return pusch, meta
+
+    # -------------------------------------------------------- indications
+
+    def handle_crc(self, rnti: int, harq_id: int, crc_ok: bool,
+                   snr_db: float | None = None):
+        """CRC indication -> UL HARQ ack/nack + link adaptation."""
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        h = ue.ul_harq[harq_id % NOF_HARQ_PROCESSES]
+        self.counters["crc_ok" if crc_ok else "crc_nok"] += 1
+        if crc_ok:
+            h.stop()
+        else:
+            h.awaiting_ack = False           # eligible for retx
+            if h.nof_retx >= self.max_harq_retx:
+                h.stop()                     # drop the TB (reference: NACKed out)
+        if snr_db is not None and self.link_adaptation:
+            ue.last_ul_snr_db = snr_db
+            ue.ul_mcs = snr_to_mcs(snr_db, ue.cfg.mcs_table)
+
+    def handle_uci(self, rnti: int, harq_ack_bits) -> None:
+        """UCI (PUCCH) indication -> DL HARQ ack/nack.
+
+        Acks the oldest awaiting DL HARQ per bit, mirroring the reference's
+        HARQ-ACK codebook walk (simplified to in-order)."""
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        bits = np.atleast_1d(np.asarray(harq_ack_bits))
+        awaiting = [h for h in ue.dl_harq if h.active and h.awaiting_ack]
+        for h, b in zip(awaiting, bits):
+            if int(b) == 0:                  # 0 = ACK in our convention
+                h.stop()
+            else:
+                h.awaiting_ack = False
+                if h.nof_retx >= self.max_harq_retx:
+                    h.stop()
+
+    def handle_uci_indications(self, slot_count: int, uci_pdus) -> None:
+        """Map positional PUCCH F1 indications of a slot back to their UEs
+        (the owners recorded at scheduling time) and apply HARQ feedback.
+        A non-detected occasion counts as DTX -> NACK, like the reference's
+        uci_scheduler handling of missing HARQ-ACK."""
+        owners = self._pucch_owners.pop(slot_count, [])
+        for rnti, pdu in zip(owners, uci_pdus):
+            detected = getattr(pdu, "detected", None)
+            bits = getattr(pdu, "harq_bits", None)
+            if detected:
+                self.handle_uci(rnti, bits)
+            else:
+                ue = self.ues.get(rnti)
+                if ue is None:
+                    continue
+                for h in ue.dl_harq:
+                    if h.active and h.awaiting_ack:
+                        h.awaiting_ack = False
+                        if h.nof_retx >= self.max_harq_retx:
+                            h.stop()
+                        break
+
+    def handle_rach(self, preamble_index: int) -> int:
+        """RACH indication -> RA event + TC-RNTI (mac_rach_handler)."""
+        tc = self._next_tc_rnti
+        self._next_tc_rnti += 1
+        self._ra_events.append(RaEvent(preamble=preamble_index, tc_rnti=tc))
+        return tc

@@ -359,6 +359,41 @@ def detect_format1_batch(grid: jnp.ndarray, common: PucchF1Config,
     return results
 
 
+def transmit_format1(grid: jnp.ndarray, cfg: PucchF1Config, bits) -> jnp.ndarray:
+    """UE-side PUCCH F1 transmit into port 0 of a [P, nsym, nsc] grid.
+
+    TS38.211 §6.3.2.4: BPSK/QPSK symbol d spread by the time OCC over data
+    symbols; DM-RS symbols carry the OCC-weighted base sequence.  The exact
+    counterpart of detect_format1 (used by the UE emulator to close the DL
+    HARQ feedback loop, and by tests).
+    """
+    b = np.atleast_1d(np.asarray(bits)).astype(np.int8)
+    if cfg.nof_harq_bits == 1:
+        d = complex(1 - 2 * int(b[0]), 0)
+    else:
+        d = ((1 - 2 * int(b[0])) + 1j * (1 - 2 * int(b[1]))) / np.sqrt(2)
+    base = base_sequence(cfg.n_id % 30, 0, 12)
+    n12 = np.arange(12)
+    for prb, s0, nsym in _f1_hops(cfg):
+        l_lo = cfg.start_symbol + s0
+        rel = list(range(s0, s0 + nsym))
+        dmrs_rel = [s for s in rel if s % 2 == 0]
+        data_rel = [s for s in rel if s % 2 == 1]
+        occ_dmrs = _occ(cfg.time_domain_occ, len(dmrs_rel))
+        occ_data = _occ(cfg.time_domain_occ, max(len(data_rel), 1))
+        ncs_v = _ncs_table(cfg.n_id, cfg.slot)[l_lo: l_lo + nsym]
+        alpha = 2 * np.pi / 12 * ((cfg.initial_cyclic_shift + ncs_v) % 12)
+        refs = np.exp(1j * alpha[:, None] * n12) * base     # [nsym, 12]
+        block = np.zeros((nsym, 12), dtype=np.complex64)
+        for i, s in enumerate(dmrs_rel):
+            block[s - s0] = refs[s - s0] * occ_dmrs[i]
+        for i, s in enumerate(data_rel):
+            block[s - s0] = refs[s - s0] * occ_data[i] * d
+        grid = grid.at[0, l_lo:l_lo + nsym,
+                       prb * 12:(prb + 1) * 12].add(jnp.asarray(block))
+    return grid
+
+
 # ----------------------------------------------------------------- Format 2
 
 # ------------------------------------------------------------- Format 3 / 4

@@ -29,6 +29,8 @@ class AppConfig:
     channel_sinr_db: float = 25.0
     trace_file: str = ""
     metrics: bool = True
+    mac: str = "test"                 # 'test' (line-rate synthetic) | 'sched'
+                                      # (time-RR scheduler + HARQ feedback)
 
 
 DEFAULT_YAML = """
@@ -85,7 +87,8 @@ def load(path: str | None = None, overrides: list | None = None) -> AppConfig:
                      seed=int(r.get("seed", 0)),
                      channel_profile=str(r.get("channel_profile", "none")),
                      channel_sinr_db=float(r.get("channel_sinr_db", 25.0)),
-                     trace_file=str(r.get("trace_file", "")))
+                     trace_file=str(r.get("trace_file", "")),
+                     mac=str(r.get("mac", "test")))
 
 
 def dump(cfg: AppConfig) -> str:
