@@ -20,7 +20,10 @@ POLYS = {
     "crc24B": (24, 0x800063),
     "crc24C": (24, 0xB2B117),
     "crc16": (16, 0x1021),
-    "crc11": (11, 0x623),
+    # 0x621: gCRC11 = D^11 + D^10 + D^9 + D^5 + 1 (reference LUT seed 0xE21,
+    # crc_calculator_lut_impl.cpp:38; a 0x623 typo here was caught by the
+    # spec-direct golden model in parity/numpy_model.py).
+    "crc11": (11, 0x621),
     "crc6": (6, 0x21),
 }
 
