@@ -33,6 +33,8 @@ def main():
                          "on this port (0 = ephemeral)")
     ap.add_argument("--pcap", default="",
                     help="capture FAPI slot messages to this pcap file")
+    ap.add_argument("--e2", default="",
+                    help="connect the E2/KPM agent to a RIC at host:port")
     args = ap.parse_args()
 
     from srsran_tpu.utils import config as config_mod
@@ -103,6 +105,43 @@ def main():
     from srsran_tpu.utils import resource_usage
     usage0 = resource_usage.snapshot()
     crc_ok = crc_fail = dl_slots = ul_slots = 0
+
+    # E2/KPM agent (lib/e2 analogue): cumulative counters updated by the
+    # slot loop; the provider derives throughput gauges per report period.
+    kpm = {"dl_bits": 0.0, "ul_bits": 0.0, "dl_prb_slots": 0.0,
+           "ul_prb_slots": 0.0, "prach_detected": 0.0, "snr_db": 0.0}
+    e2_agent = None
+    if args.e2:
+        from srsran_tpu.utils.e2_kpm import E2Agent
+        t_e2 = [time.monotonic(), 0.0, 0.0]  # prev time, prev dl/ul bits
+
+        def kpm_provider():
+            now = time.monotonic()
+            dt = max(now - t_e2[0], 1e-6)
+            thp_dl = (kpm["dl_bits"] - t_e2[1]) / dt / 1e3
+            thp_ul = (kpm["ul_bits"] - t_e2[2]) / dt / 1e3
+            t_e2[0], t_e2[1], t_e2[2] = now, kpm["dl_bits"], kpm["ul_bits"]
+            slots = dl_slots + ul_slots
+            return {
+                "DRB.UEThpDl": thp_dl, "DRB.UEThpUl": thp_ul,
+                "DRB.RlcSduTransmittedVolumeDL": kpm["dl_bits"] / 1e3,
+                "DRB.RlcSduTransmittedVolumeUL": kpm["ul_bits"] / 1e3,
+                "RRU.PrbTotDl": kpm["dl_prb_slots"] / max(dl_slots, 1),
+                "RRU.PrbTotUl": kpm["ul_prb_slots"] / max(ul_slots, 1),
+                "RRU.PrbAvailDl": float(cfg.cell.nof_rb),
+                "RRU.PrbAvailUl": float(cfg.cell.nof_rb),
+                "L1M.UL-SNR": kpm["snr_db"],
+                "L1M.PUSCH-CRC-OK": float(crc_ok),
+                "L1M.PUSCH-CRC-NOK": float(crc_fail),
+                "L1M.PRACH-Detected": kpm["prach_detected"],
+                "L1M.SlotsProcessed": float(slots),
+            }
+
+        host, _, port = args.e2.rpartition(":")
+        e2_agent = E2Agent(host or "127.0.0.1", int(port), kpm_provider)
+        e2_agent.start()
+        print(f"E2 agent connected to RIC at {args.e2}")
+
     t_start = time.monotonic()
     for count in range(cfg.nof_slots):
         if stop_flag.is_set():
@@ -123,6 +162,8 @@ def main():
                          tracing.l1_dl_tracer.span("dl_slot"):
                         samples, _ = cond.process_dl(dl, tx)
                     dl_slots += 1
+                    kpm["dl_bits"] += sum(p.tbs for p in dl.pdsch)
+                    kpm["dl_prb_slots"] += sum(p.rb_count for p in dl.pdsch)
             if cfg.tdd.is_ul(slot.count):
                 if not use_sched:
                     ul = mac.ul_requests(slot)
@@ -133,18 +174,25 @@ def main():
                     with m_ul.measure(units=1), \
                          tracing.l1_ul_tracer.span("ul_slot"):
                         res = cond.process_ul(ul, ue_tx)
-                    for c, (hid, _) in zip(res.crc, ul.pusch_harq or ()):
+                    for c, pu, (hid, _) in zip(res.crc, ul.pusch,
+                                               ul.pusch_harq or ()):
                         crc_ok += int(c.tb_crc_ok)
                         crc_fail += int(not c.tb_crc_ok)
+                        if c.tb_crc_ok:
+                            kpm["ul_bits"] += pu.tbs
+                        kpm["snr_db"] = float(c.snr_db)
                         if use_sched:
                             sched.handle_crc(c.rnti, hid,
                                              bool(c.tb_crc_ok), c.snr_db)
+                    kpm["ul_prb_slots"] += sum(p.rb_count for p in ul.pusch)
                     if use_sched:
                         sched.handle_uci_indications(slot.count, res.uci)
                     ul_slots += 1
                 elif use_sched:
                     sched.handle_uci_indications(slot.count, [])
     elapsed = time.monotonic() - t_start
+    if e2_agent is not None:
+        e2_agent.stop()
     if remote is not None:
         remote.stop()
     if fapi_pcap is not None:
