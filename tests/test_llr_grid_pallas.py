@@ -51,7 +51,8 @@ def test_grid_pool_ring():
     assert np.asarray(pool.get(1))[0, 0, 0] == 0.0
 
 
-def test_pallas_decoder_matches_xla_interpret():
+@pytest.mark.parametrize("version", [1, 2])
+def test_pallas_decoder_matches_xla_interpret(version):
     bg, z = 2, 8
     rng = np.random.default_rng(0)
     bits = rng.integers(0, 2, size=(2, 10 * z)).astype(np.int8)
@@ -61,6 +62,24 @@ def test_pallas_decoder_matches_xla_interpret():
     llr[:, :2 * z] = 0.0
     rbits, rsoft = ldpc_decode.decode(jnp.asarray(llr), bg, z, 8, 2)
     pbits, psoft = ldpc_decode_pallas.decode(jnp.asarray(llr), bg, z, 8, 2,
-                                             0.8, 2, True)
+                                             0.8, 2, True, version)
     np.testing.assert_array_equal(np.asarray(rbits), np.asarray(pbits))
     np.testing.assert_allclose(np.asarray(rsoft), np.asarray(psoft), atol=1e-4)
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_pallas_decoder_bg1_large_z_interpret(version):
+    """BG1 with a non-power-of-two lifting size exercises the rotation
+    schedule's modular deltas."""
+    bg, z = 1, 24
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, size=(3, 22 * z)).astype(np.int8)
+    code = np.asarray(ldpc_encode.encode(jnp.asarray(bits), bg, z))
+    llr = 4.0 * (1 - 2.0 * code.astype(np.float32))
+    llr += rng.normal(0, 0.4, llr.shape).astype(np.float32)
+    llr[:, :2 * z] = 0.0
+    rbits, rsoft = ldpc_decode.decode(jnp.asarray(llr), bg, z, 0, 3)
+    pbits, psoft = ldpc_decode_pallas.decode(jnp.asarray(llr), bg, z, 0, 3,
+                                             0.8, 3, True, version)
+    np.testing.assert_array_equal(np.asarray(rbits), np.asarray(pbits))
+    np.testing.assert_allclose(np.asarray(rsoft), np.asarray(psoft), atol=1e-3)

@@ -83,3 +83,36 @@ def test_fused_dci_chain_matches_stepwise():
         m, const = pdcch._fused_dci_maps(a, 108 * al, rnti, n_rnti, n_id)
         got = ((payload.astype(np.int32) @ m.astype(np.int32) + const) & 1)
         np.testing.assert_array_equal(got.astype(np.int8), want)
+
+
+def test_patch_mapping_matches_explicit_scatter():
+    """The dense-patch gather (process) must place every data/DM-RS RE
+    exactly where a direct (symbol, subcarrier) scatter would."""
+    cs = pdcch.CoresetConfig(rb_start=2, nof_rb=24, start_symbol=1,
+                             duration=3, interleaved=True, reg_bundle_size=6,
+                             interleaver_size=2, shift_index=3)
+    cfg = pdcch.PdcchConfig(coreset=cs, rnti=0x4601, aggregation_level=2,
+                            cce_index=1, payload_bits=28, n_id=11, n_id_data=11)
+    rng = np.random.default_rng(1)
+    payload = jnp.asarray(rng.integers(0, 2, 28).astype(np.int8))
+    grid = pdcch.process(jnp.zeros((1, 14, 30 * 12), dtype=jnp.complex64),
+                         payload, cfg)
+
+    enc = pdcch.encode_dci(payload, cfg)
+    from srsran_tpu.ops.scrambling import scramble_bits
+    c_init = ((cfg.n_rnti << 16) + cfg.n_id_data) % (1 << 31)
+    bits = scramble_bits(enc[None], c_init)
+    from srsran_tpu.ops.modulation import modulate
+    syms = np.asarray(modulate(bits, "qpsk")[0])
+    data_pos, dmrs_pos, dmrs_prb = pdcch._candidate_re_plan(
+        cs, cfg.cce_index, cfg.aggregation_level)
+    pilots = np.asarray(pdcch._dmrs_values(cfg, dmrs_pos, dmrs_prb))
+    ref = np.zeros((1, 14, 30 * 12), dtype=np.complex64)
+    ref[0, data_pos[:, 0], data_pos[:, 1]] = syms
+    # pilots ordered by symbol then row order (matching _dmrs_values)
+    j = 0
+    for l in sorted(set(dmrs_pos[:, 0].tolist())):
+        for ll, sc in dmrs_pos[dmrs_pos[:, 0] == l]:
+            ref[0, ll, sc] = pilots[j]
+            j += 1
+    np.testing.assert_allclose(np.asarray(grid), ref, atol=1e-6)
