@@ -60,8 +60,26 @@ def main():
           f"{cfg.nof_slots} slots on {jax.devices()[0]}")
 
     use_sched = cfg.mac == "sched"
+    bb = bb_ru = prach_cfg = None
     if use_sched:
         from srsran_tpu.mac.scheduler import CellScheduler, SchedUeConfig
+        if cfg.prach_period_slots > 0:
+            # PRACH occasions route through the lower-PHY baseband collector
+            # FSM (host-sample path, like samples arriving from a radio).
+            from srsran_tpu.phy.upper.prach import PrachConfig
+            from srsran_tpu.phy.lower.baseband import BasebandProcessor
+            prach_cfg = PrachConfig(
+                format="B4", root_sequence_index=1, zero_correlation_zone=0,
+                ra_scs_hz=15_000 << cfg.cell.numerology)
+            bb_ru = _UlFeedRu()
+            bb_stash = {}
+            bb = BasebandProcessor(
+                bb_ru, nof_ports=cfg.cell.nof_ports,
+                dft_size=cfg.cell.dft_size, numerology=cfg.cell.numerology,
+                rx_notifier=lambda s, x, ts: bb_stash.update(samples=x),
+                prach_notifier=lambda req, fd: bb_stash.setdefault(
+                    "prach_fd", []).append(fd))
+            bb.start()
         sched = CellScheduler(
             cfg.cell, cfg.phys_cell_id,
             ues=[SchedUeConfig(rnti=u.rnti, mcs_table=u.mcs_table,
@@ -70,7 +88,8 @@ def main():
                                nof_layers_dl=u.nof_layers_dl,
                                nof_layers_ul=u.nof_layers_ul)
                  for u in cfg.ues],
-            tdd=cfg.tdd, seed=cfg.seed)
+            tdd=cfg.tdd, seed=cfg.seed, prach=prach_cfg,
+            prach_period_slots=max(cfg.prach_period_slots, 1))
         mac = None
     else:
         mac = TestModeMac(cfg.cell, cfg.phys_cell_id, cfg.ues, cfg.tdd,
@@ -167,13 +186,42 @@ def main():
             if cfg.tdd.is_ul(slot.count):
                 if not use_sched:
                     ul = mac.ul_requests(slot)
-                if ul.pusch:
+                if ul.pusch or (bb is not None and ul.prach):
                     # UE TX emulation: run the same chain as a waveform source
                     ue_tx = _emulate_ue(cond, mac, ul, cfg,
                                         sched if use_sched else None)
+                    prach_fds = ()
+                    if bb is not None:
+                        # route samples through the lower-PHY baseband loop:
+                        # PRACH windows are collected by its FSM, the slot
+                        # samples come back via the rx notifier.
+                        ue_np = np.asarray(ue_tx)
+                        if ul.prach:
+                            from srsran_tpu.phy.lower.baseband import \
+                                PrachOccasionRequest
+                            pre_idx = int(sched.rng.integers(0, 16))
+                            ue_np = ue_np + _ue_prach_waveform(
+                                prach_cfg, pre_idx, cfg.cell, ue_np.shape)
+                            bb.request_prach(PrachOccasionRequest(
+                                slot=bb.current_slot, start_sample=0,
+                                fmt=prach_cfg.format,
+                                ra_scs_hz=prach_cfg.scs_hz))
+                        bb_stash.pop("prach_fd", None)
+                        bb_ru.push(ue_np)
+                        bb.push_dl(bb.current_slot,
+                                   np.zeros_like(ue_np))   # rx-only tick
+                        bb.tick()
+                        ue_tx = jnp.asarray(bb_stash["samples"])
+                        prach_fds = tuple(bb_stash.get("prach_fd", ()))
                     with m_ul.measure(units=1), \
                          tracing.l1_ul_tracer.span("ul_slot"):
-                        res = cond.process_ul(ul, ue_tx)
+                        res = cond.process_ul(ul, ue_tx, prach_fd=prach_fds)
+                    for r in res.rach:
+                        kpm["prach_detected"] += 1
+                        tc = sched.handle_rach(r.preamble_index)
+                        print(f"slot {count}: PRACH preamble "
+                              f"{r.preamble_index} detected (metric "
+                              f"{r.metric:.1f}) -> TC-RNTI 0x{tc:04x}")
                     for c, pu, (hid, _) in zip(res.crc, ul.pusch,
                                                ul.pusch_harq or ()):
                         crc_ok += int(c.tb_crc_ok)
@@ -219,6 +267,58 @@ def main():
 
 _UE_CACHE = {}
 _UE_HARQ_TBS = {}   # UE-side HARQ buffers: (rnti, harq_id) -> payload bits
+
+
+class _UlFeedRu:
+    """RadioUnit served one UL slot block at a time (UE emulator feeds it,
+    the baseband processor consumes it — the rx half of a radio session)."""
+
+    def __init__(self):
+        from collections import deque
+        self._q = deque()
+        self._ts = 0
+
+    def start(self):
+        pass
+
+    def stop(self):
+        pass
+
+    def send_dl(self, samples, timestamp=0):
+        pass
+
+    def push(self, samples):
+        import numpy as np
+        self._q.append(np.asarray(samples, dtype=np.complex64))
+
+    def receive_ul(self, count):
+        if not self._q:
+            return None
+        s = self._q.popleft()
+        assert s.shape[-1] == count, (s.shape, count)
+        ts, self._ts = self._ts, self._ts + count
+        return s, ts
+
+
+def _ue_prach_waveform(prach_cfg, preamble, cell, shape):
+    """Short-preamble time waveform at the cell rate (UE-side TX, host-pure
+    numpy so no device round trip happens on the PRACH path)."""
+    import numpy as np
+    from srsran_tpu.phy.upper import prach as prach_mod
+    from srsran_tpu.ran.prach_params import SHORT_FORMATS, zc_sequence
+    roots, spr, ncs = prach_mod._root_set(prach_cfg)
+    root_idx, shift_idx = divmod(prach_cfg.start_preamble + preamble, spr)
+    td_seq = zc_sequence(roots[root_idx], prach_cfg.l_ra, shift_idx * ncs)
+    fd = np.fft.fft(td_seq) / np.sqrt(prach_cfg.l_ra)
+    fs = cell.dft_size * (15_000 << cell.numerology)
+    n_u = fs // prach_cfg.scs_hz
+    spec = np.zeros(n_u, dtype=np.complex64)
+    spec[: fd.shape[0]] = fd                    # first_bin 0 (no freq offset)
+    td = np.fft.ifft(spec) * np.sqrt(n_u)       # unitary, matches prach_demod
+    sig = np.tile(td, SHORT_FORMATS[prach_cfg.format]).astype(np.complex64)
+    out = np.zeros(shape, dtype=np.complex64)
+    out[:, : sig.shape[0]] = sig[None, :]
+    return out
 
 
 def _emulate_ue(cond, mac, ul, cfg, sched=None):

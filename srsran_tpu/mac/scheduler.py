@@ -92,6 +92,7 @@ class SchedUeConfig:
     # full-buffer by default; finite buffers drain per scheduled TBS
     dl_buffer_bytes: int = -1        # -1 = full buffer
     ul_buffer_bytes: int = -1
+    qos_weight: float = 1.0          # time-QoS policy weight (slice/5QI)
 
 
 class UeContext:
@@ -103,6 +104,9 @@ class UeContext:
         self.ul_buffer = cfg.ul_buffer_bytes
         self.last_ul_snr_db: float | None = None
         self.ul_mcs = cfg.ul_mcs
+        # EWMA delivered rate (bits/slot) for the time-QoS PF metric
+        self.avg_rate_dl = 1.0
+        self.avg_rate_ul = 1.0
 
     def find_free(self, harqs) -> int | None:
         for i, h in enumerate(harqs):
@@ -186,7 +190,8 @@ class CellScheduler:
                  prach: PrachConfig | None = None,
                  ssb_period_ms: int = 20, sib1_period_ms: int = 160,
                  prach_period_slots: int = 40, max_harq_retx: int = 4,
-                 link_adaptation: bool = True, seed: int = 0):
+                 link_adaptation: bool = True, seed: int = 0,
+                 policy: str = "time_rr"):
         self.cell = cell
         self.pci = phys_cell_id
         self.tdd = tdd or TddPattern()
@@ -196,6 +201,9 @@ class CellScheduler:
         self.prach_period_slots = prach_period_slots
         self.max_harq_retx = max_harq_retx
         self.link_adaptation = link_adaptation
+        assert policy in ("time_rr", "time_qos"), policy
+        self.policy = policy
+        self._ewma = 0.05               # PF averaging constant
         self.rng = np.random.default_rng(seed)
         self.ues: dict[int, UeContext] = {}
         for u in (ues or []):
@@ -337,11 +345,47 @@ class CellScheduler:
         k = cursor % len(keys)
         return keys[k:] + keys[:k]
 
+    def _policy_order(self, cursor: int, dl: bool) -> list:
+        """Candidate ordering per policy: time_rr rotates a cursor
+        (scheduler_time_rr.cpp); time_qos ranks by qos_weight / average
+        delivered rate — the qos-weighted proportional-fair metric of
+        scheduler_time_qos.cpp."""
+        if self.policy == "time_rr":
+            return self._rr_order(cursor)
+
+        def prio(rnti):
+            ue = self.ues[rnti]
+            avg = ue.avg_rate_dl if dl else ue.avg_rate_ul
+            return -ue.cfg.qos_weight / max(avg, 1.0)
+
+        return sorted(self.ues.keys(), key=prio)
+
+    def _rb_shares(self, avail: int, cands: list) -> dict:
+        """PRBs per new grant: equal split (time_rr) or qos_weight-
+        proportional (time_qos)."""
+        if not cands:
+            return {}
+        if self.policy == "time_rr":
+            share = max(avail // len(cands), 1)
+            return {r: share for r in cands}
+        total_w = sum(self.ues[r].cfg.qos_weight for r in cands)
+        return {r: max(int(avail * self.ues[r].cfg.qos_weight / total_w), 1)
+                for r in cands}
+
+    def _update_avg_rates(self, granted: dict, dl: bool):
+        a = self._ewma
+        for rnti, ue in self.ues.items():
+            g = float(granted.get(rnti, 0))
+            if dl:
+                ue.avg_rate_dl = (1 - a) * ue.avg_rate_dl + a * g
+            else:
+                ue.avg_rate_ul = (1 - a) * ue.avg_rate_ul + a * g
+
     def _schedule_dl(self, slot: SlotPoint, used_rb: int):
         """Time-RR with retx priority (scheduler_time_rr.cpp semantics)."""
         out = []
         avail = self.cell.nof_rb - used_rb
-        order = self._rr_order(self._rr_dl)
+        order = self._policy_order(self._rr_dl, dl=True)
         self._rr_dl += 1
         # retransmissions keep their original allocation size
         cands_retx, cands_new = [], []
@@ -353,6 +397,7 @@ class CellScheduler:
                 cands_new.append(rnti)
         grants = cands_retx + cands_new
         if not grants:
+            self._update_avg_rates({}, dl=True)
             return out
         # Retransmissions keep their original PRB allocation (HARQ soft
         # buffers are allocation-shaped); new grants fill around them.
@@ -370,11 +415,13 @@ class CellScheduler:
         free = _free_segments(used_rb, self.cell.nof_rb, occupied)
         avail = sum(b - a for a, b in free)
         if not cands_new or avail <= 0:
+            self._update_avg_rates({}, dl=True)
             return out
-        rb_share = max(avail // len(cands_new), 1)
+        shares = self._rb_shares(avail, cands_new)
+        granted_bits = {}
         for rnti in cands_new:
             ue = self.ues[rnti]
-            seg = _take_segment(free, rb_share)
+            seg = _take_segment(free, shares[rnti])
             if seg is None:
                 break
             rb_cursor, rb_count = seg
@@ -396,14 +443,26 @@ class CellScheduler:
             payload = self.rng.integers(0, 2, t).astype(np.int8)
             ue.dl_harq[hid].new_tx(cfg, payload)
             out.append((cfg, payload))
+            granted_bits[rnti] = t
             self.counters["dl_tx"] += 1
             self.counters["dl_tbs_bits"] += t
+        self._update_avg_rates(granted_bits, dl=True)
         return out
+
+    def _prach_guard_rb(self) -> int:
+        """PRBs reserved for the PRACH region (prach_scheduler keeps PUSCH
+        off the occasion PRBs; here a static low-band guard like the
+        reference's PUCCH guardbands)."""
+        if self.prach_cfg is None:
+            return 0
+        scs = 15_000 << self.cell.numerology
+        return -(-139 * self.prach_cfg.scs_hz // (12 * scs)) + 1
 
     def _schedule_ul(self, slot: SlotPoint):
         pusch, meta = [], []
+        rb_lo = self._prach_guard_rb()
         avail = self.cell.nof_rb - 1          # last PRB for PUCCH
-        order = self._rr_order(self._rr_ul)
+        order = self._policy_order(self._rr_ul, dl=False)
         self._rr_ul += 1
         cands = []
         for rnti in order:
@@ -413,6 +472,7 @@ class CellScheduler:
                     and ue.find_free(ue.ul_harq) is not None):
                 cands.append(rnti)
         if not cands:
+            self._update_avg_rates({}, dl=False)
             return pusch, meta
         occupied = []
         cands_new = []
@@ -431,14 +491,16 @@ class CellScheduler:
             meta.append((hid, False))         # soft-combine
             occupied.append((cfg.rb_start, cfg.rb_start + cfg.rb_count))
             self.counters["ul_retx"] += 1
-        free = _free_segments(0, avail, occupied)
+        free = _free_segments(rb_lo, avail, occupied)
         n_free = sum(b - a for a, b in free)
         if not cands_new or n_free <= 0:
+            self._update_avg_rates({}, dl=False)
             return pusch, meta
-        rb_share = max(n_free // len(cands_new), 1)
+        shares = self._rb_shares(n_free, cands_new)
+        granted_bits = {}
         for rnti in cands_new:
             ue = self.ues[rnti]
-            seg = _take_segment(free, rb_share)
+            seg = _take_segment(free, shares[rnti])
             if seg is None:
                 break
             rb_cursor, rb_count = seg
@@ -461,8 +523,10 @@ class CellScheduler:
             ue.ul_harq[hid].new_tx(cfg)
             pusch.append(cfg)
             meta.append((hid, True))
+            granted_bits[rnti] = t
             self.counters["ul_tx"] += 1
             self.counters["ul_tbs_bits"] += t
+        self._update_avg_rates(granted_bits, dl=False)
         return pusch, meta
 
     # -------------------------------------------------------- indications

@@ -28,16 +28,17 @@ def _bin_dft_matrix(n_u: int, first_bin: int, l_ra: int) -> np.ndarray:
 
 def demodulate(samples: jnp.ndarray, fmt: str, sample_rate_hz: int,
                start_sample: int, freq_offset_hz: float,
-               nof_fd_occasions: int = 1) -> jnp.ndarray:
+               nof_fd_occasions: int = 1, ra_scs_hz: int = 0) -> jnp.ndarray:
     """Extract + DFT the PRACH occasion.
 
     samples: [ports, T] baseband at sample_rate_hz.
+    ra_scs_hz: short-format RA subcarrier spacing (15000 << mu); 0 = 15 kHz.
     Returns [ports, nof_symbols, L_ra] frequency-domain preamble captures.
     """
     if fmt in LONG_FORMATS:
         l_ra, ra_scs, reps = LONG_FORMATS[fmt]
     else:
-        l_ra, ra_scs, reps = 139, 15_000, SHORT_FORMATS[fmt]
+        l_ra, ra_scs, reps = 139, (ra_scs_hz or 15_000), SHORT_FORMATS[fmt]
     n_u = sample_rate_hz // ra_scs
     # CP length: for the capture we assume the caller positions start_sample
     # at the beginning of the preamble sequence part (post-CP).

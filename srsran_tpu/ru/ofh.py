@@ -1,0 +1,129 @@
+"""OFH radio unit: the split-7.2 grid boundary (lib/ru/ofh analogue).
+
+The DU side transmits DL resource grids as compressed eCPRI U-plane frames
+and receives UL grids from the peer; an O-RU emulator (the reference ships
+one as apps/examples/ofh/ru_emulator.cpp) answers on the same cable.  The
+"cable" is any object with send(bytes)/recv()->bytes|None — in-memory
+deques in tests, a socket in a two-process deployment.
+
+Compression runs batched on the device (ofh.compression); framing is host
+bytes.  Each (port, symbol) becomes one or more U-plane sections of at
+most 255 PRBs.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+from ..ofh import ecpri
+from ..ofh.compression import bfp_compress, bfp_decompress
+from ..ofh.uplane import UplaneHeader, build_uplane, parse_uplane
+
+_BCAST = b"\xff" * 6
+
+
+class InMemoryCable:
+    """Bidirectional frame pipe: a_to_b / b_to_a deques (tests, loopback)."""
+
+    def __init__(self):
+        self.a_to_b: deque = deque()
+        self.b_to_a: deque = deque()
+
+    def endpoint_a(self):
+        return _Endpoint(self.a_to_b, self.b_to_a)
+
+    def endpoint_b(self):
+        return _Endpoint(self.b_to_a, self.a_to_b)
+
+
+class _Endpoint:
+    def __init__(self, tx: deque, rx: deque):
+        self._tx, self._rx = tx, rx
+
+    def send(self, frame: bytes):
+        self._tx.append(frame)
+
+    def recv(self):
+        return self._rx.popleft() if self._rx else None
+
+
+class RuOfh:
+    """DU-side OFH radio unit (grid plane).
+
+    send_dl_grid / receive_ul_grid move [ports, nsym, nsc] complex grids
+    across the fronthaul; sequence ids are tracked per eAxC like the
+    reference's tx window checker counts (receiver drops reordered frames).
+    """
+
+    def __init__(self, cable_endpoint, nof_ports: int, nof_prb: int,
+                 iq_width: int = 9, vlan_tci: int = 1,
+                 mac_local: bytes = b"\x02\x00\x00\x00\x00\x01",
+                 mac_remote: bytes = b"\x02\x00\x00\x00\x00\x02"):
+        self.ep = cable_endpoint
+        self.nof_ports = nof_ports
+        self.nof_prb = nof_prb
+        self.iq_width = iq_width
+        self.vlan_tci = vlan_tci
+        self.mac_local = mac_local
+        self.mac_remote = mac_remote
+        self._seq = {}
+        self._rx_seq = {}
+        self.metrics = {"tx_frames": 0, "rx_frames": 0, "dropped_seq": 0}
+
+    def _next_seq(self, pc_id: int) -> int:
+        s = self._seq.get(pc_id, 0)
+        self._seq[pc_id] = (s + 1) & 0xFFFF
+        return s
+
+    def send_dl_grid(self, grid, slot: int = 0, frame_id: int = 0,
+                     subframe: int = 0, direction: int = 1):
+        """Compress + frame one slot grid [ports, nsym, nsc]."""
+        exp, mant = bfp_compress(grid, self.iq_width)     # device, batched
+        exp_h = np.asarray(exp)                           # [P, S, nprb]
+        mant_h = np.asarray(mant)
+        nsym = exp_h.shape[1]
+        for port in range(self.nof_ports):
+            for sym in range(nsym):
+                for p0 in range(0, self.nof_prb, 255):
+                    n = min(255, self.nof_prb - p0)
+                    hdr = UplaneHeader(
+                        direction=direction, frame=frame_id,
+                        subframe=subframe, slot=slot, symbol=sym,
+                        start_prb=p0, nof_prb=n, iq_width=self.iq_width)
+                    payload = build_uplane(hdr, exp_h[port, sym, p0:p0 + n],
+                                           mant_h[port, sym, p0:p0 + n])
+                    pdu = ecpri.build_ecpri(ecpri.MSG_TYPE_IQ_DATA, port,
+                                            self._next_seq(port), payload)
+                    self.ep.send(ecpri.build_eth(self.mac_remote,
+                                                 self.mac_local,
+                                                 self.vlan_tci, pdu))
+                    self.metrics["tx_frames"] += 1
+
+    def receive_ul_grid(self, nsym: int):
+        """Drain the cable into one [ports, nsym, nof_prb*12] grid."""
+        grid = np.zeros((self.nof_ports, nsym, self.nof_prb * 12),
+                        dtype=np.complex64)
+        got = False
+        while True:
+            frame = self.ep.recv()
+            if frame is None:
+                break
+            _, _, _, pdu = ecpri.parse_eth(frame)
+            mtype, pc_id, seq, payload = ecpri.parse_ecpri(pdu)
+            if mtype != ecpri.MSG_TYPE_IQ_DATA:
+                continue
+            expect = self._rx_seq.get(pc_id, seq)
+            if seq != expect:                     # reordered/lost -> drop
+                self.metrics["dropped_seq"] += 1
+                self._rx_seq[pc_id] = (seq + 1) & 0xFFFF
+                continue
+            self._rx_seq[pc_id] = (seq + 1) & 0xFFFF
+            hdr, exp, mant = parse_uplane(payload)
+            res = np.asarray(bfp_decompress(exp, mant))
+            sc0 = hdr.start_prb * 12
+            grid[pc_id, hdr.symbol, sc0:sc0 + res.shape[-1]] = res
+            self.metrics["rx_frames"] += 1
+            got = True
+        return grid if got else None

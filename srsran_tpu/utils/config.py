@@ -31,6 +31,9 @@ class AppConfig:
     metrics: bool = True
     mac: str = "test"                 # 'test' (line-rate synthetic) | 'sched'
                                       # (time-RR scheduler + HARQ feedback)
+    prach_period_slots: int = 0       # sched mode: PRACH occasion period
+                                      # (0 = no PRACH; occasions route through
+                                      # the lower-PHY baseband collector FSM)
 
 
 DEFAULT_YAML = """
@@ -88,7 +91,8 @@ def load(path: str | None = None, overrides: list | None = None) -> AppConfig:
                      channel_profile=str(r.get("channel_profile", "none")),
                      channel_sinr_db=float(r.get("channel_sinr_db", 25.0)),
                      trace_file=str(r.get("trace_file", "")),
-                     mac=str(r.get("mac", "test")))
+                     mac=str(r.get("mac", "test")),
+                     prach_period_slots=int(r.get("prach_period_slots", 0)))
 
 
 def dump(cfg: AppConfig) -> str:

@@ -200,3 +200,49 @@ def test_e2e_harq_soft_combining_recovers_tb():
     assert crc_results[0] is False, "first TX should fail CRC"
     assert any(crc_results[1:]), "retransmission should decode"
     assert sched.counters["ul_retx"] >= 1
+
+
+def test_time_qos_policy_weights_throughput():
+    """qos_weight 3:1 should yield ~3x the DL bits over enough slots
+    (scheduler_time_qos.cpp's weighted-PF metric)."""
+    ues = [SchedUeConfig(rnti=0x4601, qos_weight=3.0),
+           SchedUeConfig(rnti=0x4602, qos_weight=1.0)]
+    sched = make_sched(ues=ues, policy="time_qos")
+    bits = {0x4601: 0, 0x4602: 0}
+    for s, dl, tx, ul in run_slots(sched, 100):
+        for cfg in dl.pdsch:
+            if cfg.rnti in bits:
+                bits[cfg.rnti] += cfg.tbs
+        # ack everything so HARQ processes free up
+        for rnti, ue in sched.ues.items():
+            for h in ue.dl_harq:
+                if h.active:
+                    h.stop()
+            for h in ue.ul_harq:
+                if h.active:
+                    h.stop()
+    ratio = bits[0x4601] / max(bits[0x4602], 1)
+    assert 2.0 < ratio < 4.5, (bits, ratio)
+
+
+def test_time_qos_proportional_fairness_catches_up():
+    """With equal weights, a UE that was starved (low average rate) is
+    ranked first by the PF metric."""
+    ues = [SchedUeConfig(rnti=0x4601), SchedUeConfig(rnti=0x4602)]
+    sched = make_sched(ues=ues, policy="time_qos")
+    sched.ues[0x4601].avg_rate_dl = 1e6
+    sched.ues[0x4602].avg_rate_dl = 1.0
+    order = sched._policy_order(0, dl=True)
+    assert order[0] == 0x4602
+
+
+def test_prach_guard_band_reserved_from_pusch():
+    from srsran_tpu.phy.upper.prach import PrachConfig
+    prach = PrachConfig(format="B4", root_sequence_index=1,
+                        zero_correlation_zone=0, ra_scs_hz=30_000)
+    sched = make_sched(prach=prach, prach_period_slots=4)
+    guard = sched._prach_guard_rb()
+    assert guard >= 12
+    for s, dl, tx, ul in run_slots(sched, 8):
+        for pu in ul.pusch:
+            assert pu.rb_start >= guard, (pu.rb_start, guard)

@@ -1,0 +1,101 @@
+"""OFH stack: BFP compression, eCPRI/U-plane serdes, grid loopback."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from srsran_tpu.ofh import bfp_compress, bfp_decompress
+from srsran_tpu.ofh import ecpri
+from srsran_tpu.ofh.compression import pack_section, unpack_section
+from srsran_tpu.ofh.uplane import UplaneHeader, build_uplane, parse_uplane
+from srsran_tpu.ru.ofh import RuOfh, InMemoryCable
+
+
+def test_bfp_roundtrip_snr():
+    rng = np.random.default_rng(0)
+    iq = (rng.normal(size=(4, 24)) + 1j * rng.normal(size=(4, 24))
+          ).astype(np.complex64) * 0.3
+    exp, mant = bfp_compress(jnp.asarray(iq), 9)
+    out = np.asarray(bfp_decompress(exp, mant))
+    err = np.mean(np.abs(out - iq) ** 2) / np.mean(np.abs(iq) ** 2)
+    # 9-bit BFP gives ~45+ dB SQNR on Gaussian IQ
+    assert 10 * np.log10(1 / err) > 40.0
+    # mantissas respect the signed 9-bit range
+    assert np.asarray(mant).max() <= 255 and np.asarray(mant).min() >= -256
+
+
+def test_bfp_full_scale_and_zero_prb():
+    iq = np.zeros((1, 24), np.complex64)
+    iq[0, 0] = 1.0          # +32767 full scale
+    iq[0, 12] = -1.0
+    exp, mant = bfp_compress(jnp.asarray(iq), 9)
+    out = np.asarray(bfp_decompress(exp, mant))
+    assert abs(out[0, 0] - 1.0) < 2 ** -7            # quantized, close
+    z = bfp_compress(jnp.zeros((1, 12), jnp.complex64), 9)
+    assert int(np.asarray(z[0])[0, 0]) == 0
+    assert np.all(np.asarray(z[1]) == 0)
+
+
+def test_pack_unpack_section_bits():
+    rng = np.random.default_rng(1)
+    exp = rng.integers(0, 8, 5).astype(np.uint8)
+    mant = rng.integers(-256, 256, (5, 24)).astype(np.int32)
+    blob = pack_section(exp, mant, 9)
+    assert len(blob) == 5 * (1 + (24 * 9 + 7) // 8)
+    e2, m2 = unpack_section(blob, 5, 9)
+    np.testing.assert_array_equal(e2, exp)
+    np.testing.assert_array_equal(m2, mant)
+
+
+def test_ecpri_and_uplane_headers():
+    pdu = ecpri.build_ecpri(ecpri.MSG_TYPE_IQ_DATA, pc_id=3, seq_id=77,
+                            payload=b"abc")
+    mtype, pc, seq, payload = ecpri.parse_ecpri(pdu)
+    assert (mtype, pc, seq, payload[:3]) == (0, 3, 77, b"abc")
+    eth = ecpri.build_eth(b"\x01" * 6, b"\x02" * 6, 5, pdu)
+    dst, src, tci, inner = ecpri.parse_eth(eth)
+    assert tci == 5 and inner == pdu
+
+    hdr = UplaneHeader(direction=1, frame=7, subframe=3, slot=13, symbol=9,
+                       start_prb=260, nof_prb=2, iq_width=9, section_id=4)
+    exp = np.array([2, 0], np.uint8)
+    mant = np.zeros((2, 24), np.int32)
+    msg = build_uplane(hdr, exp, mant)
+    h2, e2, m2 = parse_uplane(msg)
+    assert h2 == hdr
+    np.testing.assert_array_equal(e2, exp)
+
+
+def test_ru_ofh_grid_loopback():
+    """DU grid -> compressed frames -> O-RU emulator echo -> UL grid."""
+    rng = np.random.default_rng(2)
+    nof_prb = 52
+    grid = (rng.normal(size=(2, 14, nof_prb * 12))
+            + 1j * rng.normal(size=(2, 14, nof_prb * 12))
+            ).astype(np.complex64) * 0.2
+    cable = InMemoryCable()
+    du = RuOfh(cable.endpoint_a(), nof_ports=2, nof_prb=nof_prb)
+    ru = RuOfh(cable.endpoint_b(), nof_ports=2, nof_prb=nof_prb)
+    du.send_dl_grid(jnp.asarray(grid), slot=1)
+    echoed = ru.receive_ul_grid(14)             # the O-RU's view of DL
+    assert echoed is not None
+    ru.send_dl_grid(jnp.asarray(echoed), slot=1, direction=0)
+    back = du.receive_ul_grid(14)
+    err = np.mean(np.abs(back - grid) ** 2) / np.mean(np.abs(grid) ** 2)
+    assert 10 * np.log10(1 / err) > 35.0        # two BFP hops
+    assert du.metrics["tx_frames"] == 2 * 14
+    assert du.metrics["dropped_seq"] == 0
+
+
+def test_ru_ofh_drops_reordered_frames():
+    cable = InMemoryCable()
+    du = RuOfh(cable.endpoint_a(), nof_ports=1, nof_prb=4)
+    ru = RuOfh(cable.endpoint_b(), nof_ports=1, nof_prb=4)
+    g = np.ones((1, 1, 48), np.complex64) * 0.1
+    du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 0 establishes stream
+    assert ru.receive_ul_grid(1) is not None
+    du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 1 — lost in flight
+    du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 2 — arrives reordered
+    cable.a_to_b.popleft()
+    out = ru.receive_ul_grid(1)
+    assert out is None
+    assert ru.metrics["dropped_seq"] == 1
