@@ -41,7 +41,9 @@ def parse_ecpri(frame: bytes):
     msg_type = frame[1]
     size = struct.unpack(">H", frame[2:4])[0]
     pc_id, seq_id = struct.unpack(">HH", frame[4:8])
-    return msg_type, pc_id, seq_id, frame[8: 4 + size + 4]
+    # size counts the 4 PC_ID/SEQ_ID bytes, so the payload ends at 4 + size;
+    # slicing there (not beyond) keeps Ethernet min-size pad bytes out.
+    return msg_type, pc_id, seq_id, frame[8: 4 + size]
 
 
 def build_eth(dst_mac: bytes, src_mac: bytes, vlan_tci: int,

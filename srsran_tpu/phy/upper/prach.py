@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ran.prach_params import (LONG_FORMATS, SHORT_FORMATS, n_cs,
+                                 restricted_cyclic_shifts,
                                  root_sequence_number, zc_sequence,
                                  LONG_SEQ, SHORT_SEQ)
 
@@ -39,6 +40,9 @@ class PrachConfig:
     nof_preambles: int = 64
     start_preamble: int = 0
     ra_scs_hz: int = 0           # short formats: 15000 << mu; long: from table
+    # 'unrestricted' | 'type_a' | 'type_b' — restricted sets go beyond the
+    # reference (its generator asserts them out, prach_generator_impl.cpp:260).
+    restricted: str = "unrestricted"
 
     @property
     def is_long(self) -> bool:
@@ -57,14 +61,29 @@ class PrachConfig:
 
 @functools.lru_cache(maxsize=None)
 def _root_set(cfg: PrachConfig):
-    """(roots [R], shifts_per_root, ncs) covering nof_preambles."""
-    ncs = n_cs(cfg.zero_correlation_zone, cfg.scs_hz)
-    l_ra = cfg.l_ra
-    spr = l_ra // ncs if ncs > 0 else 1
-    nroots = -(-cfg.nof_preambles // spr)
-    roots = tuple(root_sequence_number(cfg.root_sequence_index + i, cfg.is_long)
-                  for i in range(nroots))
-    return roots, spr, ncs
+    """(roots [R], preamble_map, ncs): preamble_map[p] = (root_idx, C_v).
+
+    Unrestricted roots carry floor(L/N_cs) evenly spaced shifts; restricted
+    roots carry the d_u-dependent C_v enumeration (TS38.211 §6.3.3.1), so
+    the shift count varies per root and the walk continues across logical
+    root indices until start_preamble + nof_preambles are assigned.
+    """
+    ncs = n_cs(cfg.zero_correlation_zone, cfg.scs_hz, cfg.restricted)
+    roots: list = []
+    pmap: list = []
+    logical = cfg.root_sequence_index
+    need = cfg.start_preamble + cfg.nof_preambles
+    while len(pmap) < need:
+        u = root_sequence_number(logical, cfg.is_long)
+        shifts = restricted_cyclic_shifts(u, ncs, cfg.l_ra, cfg.restricted)
+        if shifts:
+            roots.append(u)
+            ridx = len(roots) - 1
+            pmap.extend((ridx, cs) for cs in shifts)
+        logical += 1
+        assert logical - cfg.root_sequence_index < 2 * cfg.l_ra, \
+            "no restricted preambles available for this configuration"
+    return tuple(roots), tuple(pmap[:need]), ncs
 
 
 @functools.lru_cache(maxsize=None)
@@ -93,9 +112,8 @@ def _root_fd(cfg: PrachConfig) -> np.ndarray:
 
 def generate(cfg: PrachConfig, preamble: int) -> jnp.ndarray:
     """Frequency-domain preamble [L] for one preamble index (UE side / tests)."""
-    roots, spr, ncs = _root_set(cfg)
-    root_idx, shift_idx = divmod(cfg.start_preamble + preamble, spr)
-    cs = shift_idx * ncs
+    roots, pmap, _ = _root_set(cfg)
+    root_idx, cs = pmap[cfg.start_preamble + preamble]
     td = zc_sequence(roots[root_idx], cfg.l_ra, cs)
     fd = np.fft.fft(td) / np.sqrt(cfg.l_ra)
     return jnp.asarray(fd.astype(np.complex64))
@@ -148,7 +166,7 @@ def detect(rx_fd: jnp.ndarray, cfg: PrachConfig,
     """
     if threshold is None:
         threshold = calibrated_threshold(cfg, rx_fd.shape[0])
-    roots, spr, ncs = _root_set(cfg)
+    roots, pmap, ncs = _root_set(cfg)
     l_ra = cfg.l_ra
     rssi = jnp.mean(jnp.abs(rx_fd) ** 2)
 
@@ -174,8 +192,8 @@ def detect(rx_fd: jnp.ndarray, cfg: PrachConfig,
     metrics, tas, dets = [], [], []
     search = max(1, int(win * 0.8)) if ncs else idft_size
     for p in range(cfg.nof_preambles):
-        root_idx, shift_idx = divmod(cfg.start_preamble + p, spr)
-        start = (idft_size - (shift_idx * ncs * idft_size) // l_ra) % idft_size
+        root_idx, cs = pmap[cfg.start_preamble + p]
+        start = (idft_size - (cs * idft_size) // l_ra) % idft_size
         seg = power2[root_idx, start:start + win][:search]
         peak_idx = jnp.argmax(seg)
         if ncs == 0 or win >= idft_size:

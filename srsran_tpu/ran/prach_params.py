@@ -17,11 +17,21 @@ _DATA = Path(__file__).resolve().parent.parent / "data" / "prach_tables.npz"
 LONG_SEQ = 839
 SHORT_SEQ = 139
 
-# TS38.211 Tables 6.3.3.1-5/-6/-7, unrestricted-set columns (N_cs values).
+# TS38.211 Tables 6.3.3.1-5/-6/-7 N_cs columns (unrestricted / restricted
+# type A / restricted type B) — the same tables the reference ships in
+# lib/ran/prach/prach_cyclic_shifts.cpp.  None marks reserved entries.
 NCS_1_25_UNRESTRICTED = (0, 13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93, 119,
                          167, 279, 419)
+NCS_1_25_TYPE_A = (15, 18, 22, 26, 32, 38, 46, 55, 68, 82, 100, 128, 158,
+                   202, 237, None)
+NCS_1_25_TYPE_B = (15, 18, 22, 26, 32, 38, 46, 55, 68, 82, 100, 118, 137,
+                   None, None, None)
 NCS_5_UNRESTRICTED = (0, 13, 26, 33, 38, 41, 49, 55, 64, 76, 93, 119, 139,
                       209, 279, 419)
+NCS_5_TYPE_A = (36, 57, 72, 81, 89, 94, 103, 112, 121, 132, 137, 152, 173,
+                195, 216, 237)
+NCS_5_TYPE_B = (36, 57, 60, 63, 65, 68, 71, 77, 81, 85, 97, 109, 122, 137,
+                None, None)
 NCS_SHORT_UNRESTRICTED = (0, 2, 4, 6, 8, 10, 12, 13, 15, 17, 19, 23, 27, 34,
                           46, 69)
 
@@ -56,17 +66,82 @@ def root_sequence_number(logical_index: int, long_format: bool) -> int:
 
 def n_cs(zero_correlation_zone: int, ra_scs_hz: int,
          restricted: str = "unrestricted") -> int:
-    assert restricted == "unrestricted", "restricted sets not supported yet"
     if ra_scs_hz == 1250:
-        return NCS_1_25_UNRESTRICTED[zero_correlation_zone]
-    if ra_scs_hz == 5000:
-        return NCS_5_UNRESTRICTED[zero_correlation_zone]
-    return NCS_SHORT_UNRESTRICTED[zero_correlation_zone]
+        cols = {"unrestricted": NCS_1_25_UNRESTRICTED,
+                "type_a": NCS_1_25_TYPE_A, "type_b": NCS_1_25_TYPE_B}
+    elif ra_scs_hz == 5000:
+        cols = {"unrestricted": NCS_5_UNRESTRICTED,
+                "type_a": NCS_5_TYPE_A, "type_b": NCS_5_TYPE_B}
+    else:
+        assert restricted == "unrestricted", \
+            "restricted sets only exist for the 839-long formats"
+        cols = {"unrestricted": NCS_SHORT_UNRESTRICTED}
+    v = cols[restricted][zero_correlation_zone]
+    assert v is not None, \
+        f"zeroCorrelationZone {zero_correlation_zone} reserved for {restricted}"
+    return v
 
 
 def preambles_per_root(ncs: int, l_ra: int) -> int:
     """Number of cyclic-shift preambles one root supports."""
     return l_ra // ncs if ncs else 1
+
+
+def _d_u(u: int, l_ra: int) -> int:
+    """Doppler-shift distance d_u (TS38.211 §6.3.3.1): d_u = p when
+    0 <= p < L/2 else L - p, with p the smallest non-negative integer
+    satisfying (p*u) mod L = 1."""
+    p = pow(u, -1, l_ra)          # u and prime L_RA are coprime
+    return p if p < l_ra // 2 else l_ra - p
+
+
+def restricted_cyclic_shifts(u: int, ncs: int, l_ra: int,
+                             restricted: str) -> list[int]:
+    """All restricted-set cyclic shifts C_v for root u (TS38.211 §6.3.3.1).
+
+    Goes beyond the reference, whose generator asserts restricted sets out
+    (prach_generator_impl.cpp:260) while only shipping the N_cs tables.
+    Type A covers every d_u range; type B covers its first two ranges
+    (N_cs <= d_u < L/5 and L/5 <= d_u <= (L-N_cs)/4); the remaining type B
+    ranges (very-high-speed corner) raise.
+    """
+    if restricted == "unrestricted":
+        return list(range(0, l_ra - ncs + 1, ncs)) if ncs else [0]
+    du = _d_u(u, l_ra)
+    if restricted == "type_a":
+        if ncs <= du < l_ra // 3:
+            n_shift = du // ncs
+            d_start = 2 * du + n_shift * ncs
+            n_group = l_ra // d_start
+            n_shift_bar = max((l_ra - 2 * du - n_group * d_start) // ncs, 0)
+        elif l_ra // 3 <= du <= (l_ra - ncs) // 2:
+            n_shift = (l_ra - 2 * du) // ncs
+            d_start = l_ra - 2 * du + n_shift * ncs
+            n_group = du // d_start
+            n_shift_bar = min(max((du - n_group * d_start) // ncs, 0), n_shift)
+        else:
+            return []            # this root supports no type-A preambles
+    elif restricted == "type_b":
+        if ncs <= du < l_ra // 5:
+            n_shift = du // ncs
+            d_start = 4 * du + n_shift * ncs
+            n_group = l_ra // d_start
+            n_shift_bar = max((l_ra - 4 * du - n_group * d_start) // ncs, 0)
+        elif l_ra // 5 <= du <= (l_ra - ncs) // 4:
+            n_shift = (l_ra - 4 * du) // ncs
+            d_start = l_ra - 4 * du + n_shift * ncs
+            n_group = du // d_start
+            n_shift_bar = min(max((du - n_group * d_start) // ncs, 0), n_shift)
+        else:
+            raise NotImplementedError(
+                f"restricted type B with d_u={du} outside the two main "
+                "ranges (TS38.211 §6.3.3.1 ranges 3-5) is not supported")
+    else:
+        raise ValueError(restricted)
+    if n_shift == 0:
+        return []
+    w = n_group * n_shift + n_shift_bar
+    return [d_start * (v // n_shift) + (v % n_shift) * ncs for v in range(w)]
 
 
 @functools.lru_cache(maxsize=None)

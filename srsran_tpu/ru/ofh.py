@@ -115,10 +115,12 @@ class RuOfh:
             if mtype != ecpri.MSG_TYPE_IQ_DATA:
                 continue
             expect = self._rx_seq.get(pc_id, seq)
-            if seq != expect:                     # reordered/lost -> drop
+            delta = (seq - expect) & 0xFFFF
+            if delta >= 0x8000:                   # stale/reordered -> drop
                 self.metrics["dropped_seq"] += 1
-                self._rx_seq[pc_id] = (seq + 1) & 0xFFFF
                 continue
+            if delta:                             # forward jump: frames lost
+                self.metrics["dropped_seq"] += delta
             self._rx_seq[pc_id] = (seq + 1) & 0xFFFF
             hdr, exp, mant = parse_uplane(payload)
             res = np.asarray(bfp_decompress(exp, mant))

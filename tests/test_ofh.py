@@ -86,7 +86,8 @@ def test_ru_ofh_grid_loopback():
     assert du.metrics["dropped_seq"] == 0
 
 
-def test_ru_ofh_drops_reordered_frames():
+def test_ru_ofh_seq_gap_applies_good_frame():
+    """A lost frame counts as a gap but the frame that DID arrive is used."""
     cable = InMemoryCable()
     du = RuOfh(cable.endpoint_a(), nof_ports=1, nof_prb=4)
     ru = RuOfh(cable.endpoint_b(), nof_ports=1, nof_prb=4)
@@ -94,8 +95,28 @@ def test_ru_ofh_drops_reordered_frames():
     du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 0 establishes stream
     assert ru.receive_ul_grid(1) is not None
     du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 1 — lost in flight
-    du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 2 — arrives reordered
+    du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 2 — arrives after gap
     cable.a_to_b.popleft()
     out = ru.receive_ul_grid(1)
-    assert out is None
+    assert out is not None                        # the good frame is applied
+    assert ru.metrics["dropped_seq"] == 1         # the gap is still counted
+    # next in-order frame (seq 3) flows with no further drops
+    du.send_dl_grid(jnp.asarray(g), slot=0)
+    assert ru.receive_ul_grid(1) is not None
     assert ru.metrics["dropped_seq"] == 1
+
+
+def test_ru_ofh_drops_stale_frames():
+    """A frame older than the expected sequence number is discarded."""
+    cable = InMemoryCable()
+    du = RuOfh(cable.endpoint_a(), nof_ports=1, nof_prb=4)
+    ru = RuOfh(cable.endpoint_b(), nof_ports=1, nof_prb=4)
+    g = np.ones((1, 1, 48), np.complex64) * 0.1
+    du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 0
+    stale = cable.a_to_b[0]                       # keep a copy of seq 0
+    assert ru.receive_ul_grid(1) is not None
+    du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 1
+    cable.a_to_b.append(stale)                    # replay seq 0 after seq 1
+    assert ru.receive_ul_grid(1) is not None      # seq 1 applied
+    assert ru.metrics["dropped_seq"] == 1         # the replayed stale frame
+    assert ru.metrics["rx_frames"] == 2

