@@ -71,6 +71,11 @@ def main():
             prach_cfg = PrachConfig(
                 format="B4", root_sequence_index=1, zero_correlation_zone=0,
                 ra_scs_hz=15_000 << cfg.cell.numerology)
+            # The host-sample baseband path copies device arrays per PRACH
+            # slot — on the tunnelled TPU that flips per-op sync mode, so
+            # slot timings below are not deployment numbers (bench.py is).
+            print("note: PRACH host-sample path active; slot timings are "
+                  "functional only, use bench.py for performance")
             bb_ru = _UlFeedRu()
             bb_stash = {}
             bb = BasebandProcessor(
@@ -200,11 +205,20 @@ def main():
                             from srsran_tpu.phy.lower.baseband import \
                                 PrachOccasionRequest
                             pre_idx = int(sched.rng.integers(0, 16))
+                            # PRACH rides the low edge of the grid — the
+                            # PRBs _prach_guard_rb() reserves — which is
+                            # NEGATIVE baseband frequency (grid SC 0 maps
+                            # to -nof_sc/2 * scs after the half-spectrum
+                            # swap).  Waveform and demod window agree.
+                            scs = 15_000 << cfg.cell.numerology
+                            prach_f0 = -(cfg.cell.nof_sc // 2) * scs
                             ue_np = ue_np + _ue_prach_waveform(
-                                prach_cfg, pre_idx, cfg.cell, ue_np.shape)
+                                prach_cfg, pre_idx, cfg.cell, ue_np.shape,
+                                freq_offset_hz=prach_f0)
                             bb.request_prach(PrachOccasionRequest(
                                 slot=bb.current_slot, start_sample=0,
                                 fmt=prach_cfg.format,
+                                freq_offset_hz=prach_f0,
                                 ra_scs_hz=prach_cfg.scs_hz))
                         bb_stash.pop("prach_fd", None)
                         bb_ru.push(ue_np)
@@ -213,9 +227,22 @@ def main():
                         bb.tick()
                         ue_tx = jnp.asarray(bb_stash["samples"])
                         prach_fds = tuple(bb_stash.get("prach_fd", ()))
+                        if len(prach_fds) < len(ul.prach):
+                            # a window straddling the slot boundary has not
+                            # completed yet — defer those PDUs (the FSM
+                            # notifies on a later tick)
+                            import dataclasses as _dc
+                            ul = _dc.replace(
+                                ul, prach=ul.prach[:len(prach_fds)])
                     with m_ul.measure(units=1), \
                          tracing.l1_ul_tracer.span("ul_slot"):
-                        res = cond.process_ul(ul, ue_tx, prach_fd=prach_fds)
+                        pending = cond.process_ul(ul, ue_tx,
+                                                  prach_fd=prach_fds)
+                    # Indication decode (the only d2h point) happens outside
+                    # the timed launch section; a deployment loop may defer
+                    # it several slots (PendingSlotResults holds only device
+                    # arrays) — here the scheduler consumes CRC/UCI per slot.
+                    res = pending.resolve()
                     for r in res.rach:
                         kpm["prach_detected"] += 1
                         tc = sched.handle_rach(r.preamble_index)
@@ -300,20 +327,27 @@ class _UlFeedRu:
         return s, ts
 
 
-def _ue_prach_waveform(prach_cfg, preamble, cell, shape):
+def _ue_prach_waveform(prach_cfg, preamble, cell, shape,
+                       freq_offset_hz: float = 0.0):
     """Short-preamble time waveform at the cell rate (UE-side TX, host-pure
-    numpy so no device round trip happens on the PRACH path)."""
+    numpy so no device round trip happens on the PRACH path).
+
+    freq_offset_hz positions the preamble's first RA subcarrier in baseband
+    (negative = below DC = low grid PRBs) — must match the demod window's
+    PrachOccasionRequest.freq_offset_hz."""
     import numpy as np
     from srsran_tpu.phy.upper import prach as prach_mod
     from srsran_tpu.ran.prach_params import SHORT_FORMATS, zc_sequence
-    roots, spr, ncs = prach_mod._root_set(prach_cfg)
-    root_idx, shift_idx = divmod(prach_cfg.start_preamble + preamble, spr)
-    td_seq = zc_sequence(roots[root_idx], prach_cfg.l_ra, shift_idx * ncs)
+    roots, pmap, _ = prach_mod._root_set(prach_cfg)
+    root_idx, cs = pmap[prach_cfg.start_preamble + preamble]
+    td_seq = zc_sequence(roots[root_idx], prach_cfg.l_ra, cs)
     fd = np.fft.fft(td_seq) / np.sqrt(prach_cfg.l_ra)
     fs = cell.dft_size * (15_000 << cell.numerology)
     n_u = fs // prach_cfg.scs_hz
+    first_bin = int(round(freq_offset_hz / prach_cfg.scs_hz)) % n_u
     spec = np.zeros(n_u, dtype=np.complex64)
-    spec[: fd.shape[0]] = fd                    # first_bin 0 (no freq offset)
+    bins = (first_bin + np.arange(fd.shape[0])) % n_u
+    spec[bins] = fd
     td = np.fft.ifft(spec) * np.sqrt(n_u)       # unitary, matches prach_demod
     sig = np.tile(td, SHORT_FORMATS[prach_cfg.format]).astype(np.complex64)
     out = np.zeros(shape, dtype=np.complex64)

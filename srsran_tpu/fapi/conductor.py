@@ -8,12 +8,23 @@ program, launches it asynchronously (JAX dispatch is async by nature — the
 returned arrays are futures), and converts device results to indication
 dataclasses.  HARQ soft buffers live in a pool keyed by (rnti, harq_id),
 mirroring rx_buffer_pool_impl.
+
+Copy-free hot loop: process_ul returns a PendingSlotResults holding ONLY
+device arrays (one packed f32 scalar vector + one packed int8 payload
+vector per slot, packed inside the jitted program).  No device->host copy
+happens until .resolve(), which the caller runs a few slots behind the
+launch front (the analogue of the reference's async result notifiers,
+phy_to_fapi_results_event_translator.cpp:137) — so the TPU pipeline is
+never stalled by indication decoding and the axon tunnel's d2h sync-mode
+penalty stays off the launch path.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,11 +35,13 @@ from ..phy.upper import pusch as pusch_mod
 from ..phy.upper import pdcch as pdcch_mod
 from ..phy.upper import pucch as pucch_mod
 from ..phy.upper import csi_rs as csi_rs_mod
-from ..phy.upper.dmrs import c_inits_for
+from ..phy.upper import ptrs_prs as ptrs_prs_mod
+from ..phy.upper import dmrs as dmrs_mod
 from ..ran.ldpc_params import segment_tb, select_base_graph
-from .messages import (DlTtiRequest, TxDataRequest, UlTtiRequest, SlotResults,
-                       CrcIndicationPdu, RxDataIndicationPdu, UciIndicationPdu,
-                       RachIndicationPreamble, SrsIndicationPdu)
+from .messages import (DlTtiRequest, TxDataRequest, UlTtiRequest, UlDciRequest,
+                       SlotResults, CrcIndicationPdu, RxDataIndicationPdu,
+                       UciIndicationPdu, RachIndicationPreamble,
+                       SrsIndicationPdu)
 
 
 def _norm(cfg, **zero_fields):
@@ -36,23 +49,73 @@ def _norm(cfg, **zero_fields):
     return dataclasses.replace(cfg, **zero_fields)
 
 
-def normalize_dl_plan(dl: DlTtiRequest):
-    """Slot-invariant plan key + the slot context arrays for this slot."""
+# Slot-context device arrays are tiny and keyed by hashable frozen configs;
+# caching the upload avoids one H2D transfer per PDU per slot (slot indices
+# cycle, so the cache is bounded).
+@functools.lru_cache(maxsize=4096)
+def _dev(kind: str, cfg) -> tuple:
+    """Slot-context arrays, computed on HOST and uploaded once per distinct
+    (kind, cfg): sequence VALUES (pilots/weights), not c_init seeds — the
+    device programs then contain zero Gold/trig ops on the slot-varying
+    path.  Slot indices cycle, so the cache amortizes to zero host work."""
+    if kind == "ssb":
+        return tuple(jnp.asarray(x) for x in ssb_mod.slot_ctx_for(cfg))
+    if kind == "pdcch":
+        return jnp.asarray(pdcch_mod.dmrs_values_for(cfg))
+    if kind == "pdsch":
+        return jnp.asarray(dmrs_mod.pilot_values_for(pdsch_mod.dmrs_config(cfg)))
+    if kind == "ptrs":
+        if cfg.ptrs is None:
+            return None
+        pc = ptrs_prs_mod.PtrsConfig(
+            rb_start=cfg.rb_start, rb_count=cfg.rb_count,
+            first_symbol=cfg.first_symbol, nof_symbols=cfg.nof_symbols,
+            dmrs_symbols=cfg.dmrs_symbols, time_density=cfg.ptrs.time_density,
+            freq_density=cfg.ptrs.freq_density, re_offset=cfg.ptrs.re_offset,
+            port=cfg.ptrs.port, scrambling_id=cfg.dmrs_scrambling_id,
+            n_scid=cfg.n_scid, slot_in_frame=cfg.slot_in_frame)
+        return jnp.asarray(ptrs_prs_mod.ptrs_values_for(pc))
+    if kind == "csi":
+        return jnp.asarray(csi_rs_mod.seq_values_for(cfg))
+    if kind == "prs":
+        return jnp.asarray(ptrs_prs_mod.prs_values_for(cfg))
+    if kind == "pusch":
+        return jnp.asarray(dmrs_mod.pilot_values_for(pusch_mod.dmrs_config(cfg)))
+    if kind == "f0":
+        return jnp.asarray(pucch_mod.f0_refs_for(cfg))
+    if kind == "f1":        # cfg = (common, users)
+        return tuple(tuple(jnp.asarray(w) for w in hop)
+                     for hop in pucch_mod.f1_batch_weights(cfg[0], cfg[1]))
+    if kind == "f2":
+        return jnp.asarray(pucch_mod.f2_pilot_values_for(cfg))
+    if kind == "f3":
+        return jnp.asarray(pucch_mod.f3_dmrs_values_for(cfg))
+    raise KeyError(kind)
+
+
+def normalize_dl_plan(dl: DlTtiRequest, extra_pdcch: tuple = (),
+                      ):
+    """Slot-invariant plan key + the slot context arrays for this slot.
+
+    extra_pdcch: PDCCH PDUs from a ul_dci_request for the same slot — the
+    reference routes both through the same PDCCH processor
+    (fapi_to_phy_translator.cpp:629).
+    """
+    pdcch_all = dl.pdcch + tuple(extra_pdcch)
     ssb_n = tuple(_norm(c, sfn=0, hrf=False) for c in dl.ssb)
-    pdcch_n = tuple(_norm(c, slot_in_frame=0) for c in dl.pdcch)
+    pdcch_n = tuple(_norm(c, slot_in_frame=0) for c in pdcch_all)
     pdsch_n = tuple(_norm(c, slot_in_frame=0) for c in dl.pdsch)
     csi_n = tuple(_norm(c, slot_in_frame=0) for c in dl.csi_rs)
+    prs_n = tuple(_norm(c, slot_in_frame=0) for c in dl.prs)
     ctx = {
-        "ssb": tuple(
-            tuple(jnp.asarray(x) for x in ssb_mod.slot_ctx_for(c))
-            for c in dl.ssb),
-        "pdcch": tuple(jnp.asarray(pdcch_mod.dmrs_cinits_for(c))
-                       for c in dl.pdcch),
-        "pdsch": tuple(jnp.asarray(c_inits_for(pdsch_mod.dmrs_config(c)))
-                       for c in dl.pdsch),
-        "csi": tuple(jnp.asarray(csi_rs_mod.c_init_for(c)) for c in dl.csi_rs),
+        "ssb": tuple(_dev("ssb", c) for c in dl.ssb),
+        "pdcch": tuple(_dev("pdcch", c) for c in pdcch_all),
+        "pdsch": tuple(_dev("pdsch", c) for c in dl.pdsch),
+        "ptrs": tuple(_dev("ptrs", c) for c in dl.pdsch),
+        "csi": tuple(_dev("csi", c) for c in dl.csi_rs),
+        "prs": tuple(_dev("prs", c) for c in dl.prs),
     }
-    return (ssb_n, pdcch_n, pdsch_n, csi_n), ctx
+    return (ssb_n, pdcch_n, pdsch_n, csi_n, prs_n), ctx
 
 
 def normalize_ul_plan(ul: UlTtiRequest):
@@ -60,17 +123,31 @@ def normalize_ul_plan(ul: UlTtiRequest):
     f0_n = tuple(_norm(c, slot=0) for c in ul.pucch_f0)
     f1_n = tuple(_norm(c, slot=0) for c in ul.pucch_f1)
     f2_n = tuple(_norm(c, slot=0) for c in ul.pucch_f2)
+    f34 = ul.pucch_f3 + ul.pucch_f4
+    f34_n = tuple(_norm(c, slot=0) for c in f34)
+    # F1 weights are per occasion GROUP (the slot program batch-detects all
+    # users multiplexed on a PRB) — group exactly like ul_slot_core and
+    # place the group's weight tuple at the first member's index.
+    f1_groups: dict = {}
+    for i, c in enumerate(ul.pucch_f1):
+        key = (c.prb, c.start_symbol, c.nof_symbols, c.n_id, c.slot,
+               c.second_hop_prb)
+        f1_groups.setdefault(key, []).append(i)
+    f1_ctx: list = [None] * len(ul.pucch_f1)
+    for idxs in f1_groups.values():
+        common = ul.pucch_f1[idxs[0]]
+        users = tuple((ul.pucch_f1[i].initial_cyclic_shift,
+                       ul.pucch_f1[i].time_domain_occ,
+                       ul.pucch_f1[i].nof_harq_bits) for i in idxs)
+        f1_ctx[idxs[0]] = _dev("f1", (common, users))
     ctx = {
-        "pusch": tuple(jnp.asarray(c_inits_for(pusch_mod.dmrs_config(c)))
-                       for c in ul.pusch),
-        "f0": tuple(jnp.asarray(pucch_mod.ncs_for(c.n_id, c.slot))
-                    for c in ul.pucch_f0),
-        "f1": tuple(jnp.asarray(pucch_mod.ncs_for(c.n_id, c.slot))
-                    for c in ul.pucch_f1),
-        "f2": tuple(jnp.asarray(pucch_mod.f2_dmrs_cinits(c))
-                    for c in ul.pucch_f2),
+        "pusch": tuple(_dev("pusch", c) for c in ul.pusch),
+        "f0": tuple(_dev("f0", c) for c in ul.pucch_f0),
+        "f1": tuple(f1_ctx),
+        "f2": tuple(_dev("f2", c) for c in ul.pucch_f2),
+        "f3": tuple(_dev("f3", c) for c in f34),
     }
-    return (pusch_n, f0_n, f1_n, f2_n, ul.prach, ul.srs), ctx
+    return (pusch_n, f0_n, f1_n, f2_n, ul.prach, ul.srs, f34_n), ctx
 
 
 class HarqBufferPool:
@@ -92,6 +169,80 @@ class HarqBufferPool:
         self._bufs.pop((rnti, harq_id), None)
 
 
+@dataclasses.dataclass
+class PendingSlotResults:
+    """Device-side UL slot results: resolve() decodes them on host.
+
+    Between process_ul and resolve there is NO device->host traffic; the
+    caller keeps a small queue of these and resolves slots a few ticks
+    behind the launch front (HARQ ids do not recycle that fast).
+    """
+
+    ul_tti: UlTtiRequest
+    harq_meta: tuple
+    scalars: jnp.ndarray            # packed f32 vector (static layout)
+    payload: jnp.ndarray            # packed int8 tb bits of all PUSCH PDUs
+    new_softs: tuple                # device arrays, one per PUSCH PDU
+    conductor: "SlotConductor"
+
+    def block_until_ready(self):
+        self.scalars.block_until_ready()
+        return self
+
+    def resolve(self) -> SlotResults:
+        return self.conductor._decode(self)
+
+
+def pack_ul_results(out: dict) -> tuple:
+    """Flatten every per-PDU result into one f32 vector + one int8 vector.
+
+    Runs INSIDE the jitted UL slot program: XLA fuses the concatenation,
+    and the conductor's resolve() needs exactly two d2h copies per slot
+    (the analogue of the reference packing results into FAPI indication
+    structs before crossing the MAC boundary).
+    Layout per PDU type (static given the slot plan):
+      pusch: [crc_ok, ta_s, cfo_hz, evm, iters,
+              snr[P], rsrp[P], epre[P]]   (P = rx ports)
+             then optional [ack_valid, ack_bits...], [csi1_valid, bits...],
+             [csi2_valid, bits...]
+      f0/f1: [detected, metric, harq bits...]
+      f2/f3: [valid, metric, uci bits...]
+      prach: [detected[64], metrics[64], ta_s[64], rssi]
+      srs:   [ta_s, snr, re(h)..., im(h)...]
+    """
+    parts = []
+
+    def scal(*xs):
+        for x in xs:
+            parts.append(jnp.ravel(jnp.asarray(x, jnp.float32)))
+
+    for r in out["pusch"]:
+        scal(r["tb_crc_ok"], r["ta_s"], r["cfo_hz"], r["evm"],
+             r["nof_iterations"], r["snr"], r["rsrp"], r["epre"])
+        for k in ("harq_ack", "csi1", "csi2"):
+            v, b = r.get(f"{k}_valid"), r.get(f"{k}_bits")
+            if b is not None:
+                scal(v, b)
+    for r in out["pucch_f0"]:
+        scal(r["detected"], r["metric"], r["sr_bit"], r["harq_bits"])
+    for r in out["pucch_f1"]:
+        scal(r["detected"], r["metric"], r["harq_bits"])
+    for r in out["pucch_f2"]:
+        scal(r["valid"], r["metric"], r["uci_bits"])
+    for r in out["pucch_f3"]:
+        scal(r["valid"], r["metric"], r["uci_bits"])
+    for r in out["prach"]:
+        scal(r["detected"], r["metrics"], r["ta_s"], r["rssi"])
+    for r in out["srs"]:
+        scal(r["ta_s"], jnp.mean(r["snr"]), jnp.real(r["wideband_h"]),
+             jnp.imag(r["wideband_h"]))
+    scalars = (jnp.concatenate(parts) if parts
+               else jnp.zeros(0, jnp.float32))
+    pay = [r["tb_bits"].astype(jnp.int8) for r in out["pusch"]]
+    payload = jnp.concatenate(pay) if pay else jnp.zeros(0, jnp.int8)
+    return scalars, payload
+
+
 class SlotConductor:
     """One cell's PHY driver.  Thread-free: slot pipelining comes from JAX's
     async dispatch (launch slot N+1 while N still runs on device)."""
@@ -107,27 +258,36 @@ class SlotConductor:
 
     # ---------------------------------------------------------------- DL
 
-    def process_dl(self, dl_tti: DlTtiRequest, tx_data: TxDataRequest):
+    def process_dl(self, dl_tti: DlTtiRequest, tx_data: TxDataRequest,
+                   ul_dci: UlDciRequest | None = None):
         """Returns (samples [P, T] device array, grid) — async futures.
 
         The jitted program is keyed on a slot-invariant plan; slot-varying
         scrambling inits enter as traced inputs (so one compile serves all
         slots — the analogue of the reference's per-slot processor reuse).
+        ul_dci PDUs (UL grants) transmit through the same PDCCH path.
         """
         if self.validate:
-            from .validators import validate_dl_tti, validate_tx_data
+            from .validators import (validate_dl_tti, validate_tx_data,
+                                     validate_ul_dci)
             validate_dl_tti(dl_tti, self.cell)
             validate_tx_data(tx_data, dl_tti)
+            if ul_dci is not None:
+                validate_ul_dci(ul_dci, self.cell)
         if self.pcap is not None:
             self.pcap.capture("dl_tti", dl_tti)
             self.pcap.capture("tx_data", tx_data)
         slot_in_sf = dl_tti.slot.subframe_slot_index
-        plan, ctx = normalize_dl_plan(dl_tti)
+        extra = ul_dci.pdcch if ul_dci is not None else ()
+        plan, ctx = normalize_dl_plan(dl_tti, extra)
         fn = dl_slot_fn(self.cell, plan, slot_in_sf)
         mib = tuple(jnp.asarray(np.asarray(m, dtype=np.int8))
                     for m in tx_data.ssb_mib)
         dci = tuple(jnp.asarray(np.asarray(p, dtype=np.int8))
                     for p in tx_data.pdcch_payloads)
+        if ul_dci is not None:
+            dci = dci + tuple(jnp.asarray(np.asarray(p, dtype=np.int8))
+                              for p in ul_dci.payloads)
         sch = tuple(jnp.asarray(np.asarray(p, dtype=np.int8))
                     for p in tx_data.pdsch_payloads)
         return fn(mib, dci, sch, ctx)
@@ -140,7 +300,13 @@ class SlotConductor:
         return (seg.nof_codeblocks, seg.codeword_bits)
 
     def process_ul(self, ul_tti: UlTtiRequest, samples,
-                   prach_fd=()) -> SlotResults:
+                   prach_fd=()) -> PendingSlotResults:
+        """Launch the UL slot program; returns device-side pending results.
+
+        Copy-free: nothing here blocks on or copies from the device.  Call
+        .resolve() on the returned object (ideally a few slots later) to
+        decode indications; HARQ soft buffers are stored/released there.
+        """
         if self.validate:
             from .validators import validate_ul_tti
             validate_ul_tti(ul_tti, self.cell)
@@ -148,54 +314,132 @@ class SlotConductor:
             self.pcap.capture("ul_tti", ul_tti)
         slot_in_sf = ul_tti.slot.subframe_slot_index
         plan, ctx = normalize_ul_plan(ul_tti)
-        fn = ul_slot_fn(self.cell, plan, slot_in_sf)
+        fn = _packed_ul_fn(self.cell, plan, slot_in_sf)
         harq_meta = ul_tti.pusch_harq or tuple((0, True) for _ in ul_tti.pusch)
         softs = tuple(
             self.harq_pool.get(c.rnti, hid, self._pusch_soft_shape(c), new)
             for c, (hid, new) in zip(ul_tti.pusch, harq_meta))
-        out = fn(samples, tuple(prach_fd), softs, ctx)
+        scalars, payload, new_softs = fn(samples, tuple(prach_fd), softs, ctx)
+        return PendingSlotResults(ul_tti=ul_tti, harq_meta=harq_meta,
+                                  scalars=scalars, payload=payload,
+                                  new_softs=new_softs, conductor=self)
 
+    # ------------------------------------------------------- indications
+
+    def _decode(self, pend: PendingSlotResults) -> SlotResults:
+        """Host-side indication decoding (the single d2h point)."""
+        ul_tti = pend.ul_tti
+        s = np.asarray(pend.scalars)
+        payload = np.asarray(pend.payload)
         res = SlotResults(slot=ul_tti.slot)
-        for cfg, (hid, _), r in zip(ul_tti.pusch, harq_meta, out["pusch"]):
-            ok = bool(r["tb_crc_ok"])
-            snr_db = float(10 * np.log10(max(float(np.mean(np.asarray(r["snr"]))), 1e-9)))
+        i = 0          # cursor into s
+        p0 = 0         # cursor into payload
+
+        def take(n):
+            nonlocal i
+            v = s[i:i + n]
+            i += n
+            return v
+
+        nports = self.cell.nof_ports
+        for cfg, (hid, _) in zip(ul_tti.pusch, pend.harq_meta):
+            crc_ok, ta, cfo, evm, iters = take(5)
+            snr_p, rsrp_p, epre_p = take(nports), take(nports), take(nports)
+            ok = bool(crc_ok > 0.5)
+            snr_db = float(10 * np.log10(max(float(np.mean(snr_p)), 1e-9)))
             res.crc.append(CrcIndicationPdu(
-                rnti=cfg.rnti, tb_crc_ok=ok,
-                timing_advance_s=float(r["ta_s"]), snr_db=snr_db))
+                rnti=cfg.rnti, tb_crc_ok=ok, timing_advance_s=float(ta),
+                snr_db=snr_db, rsrp=float(np.mean(rsrp_p)), cfo_hz=float(cfo),
+                evm=float(evm), nof_ldpc_iterations=float(iters),
+                snr_port_db=10 * np.log10(np.maximum(snr_p, 1e-9)),
+                rsrp_port=rsrp_p.copy(), epre_port=epre_p.copy()))
+            u = cfg.uci
+            uci_bits = {}
+            for name, n_bits in (("harq_ack", u.o_ack), ("csi1", u.o_csi1),
+                                 ("csi2", u.o_csi2)):
+                if n_bits:
+                    v = take(1 + n_bits)
+                    uci_bits[name] = (bool(v[0] > 0.5),
+                                      (v[1:] > 0.5).astype(np.uint8))
+            if uci_bits:
+                ack = uci_bits.get("harq_ack", (False, None))
+                csi1 = uci_bits.get("csi1", (False, None))
+                res.uci.append(UciIndicationPdu(
+                    rnti=cfg.rnti, detected=ack[0] or csi1[0],
+                    harq_bits=ack[1], csi_bits=csi1[1], metric=1.0))
+            bits = payload[p0:p0 + cfg.tbs]
+            p0 += cfg.tbs
             if ok:
                 res.rx_data.append(RxDataIndicationPdu(
-                    rnti=cfg.rnti, payload=np.asarray(r["tb_bits"])))
+                    rnti=cfg.rnti, payload=(bits > 0).astype(np.uint8)))
                 self.harq_pool.release(cfg.rnti, hid)
-            else:
-                self.harq_pool.put(cfg.rnti, hid, r["new_soft"])
-        for cfg, r in zip(ul_tti.pucch_f0, out["pucch_f0"]):
+        # HARQ soft-buffer store for failed TBs (device arrays, no copy)
+        for cfg, (hid, _), soft, pdu in zip(ul_tti.pusch, pend.harq_meta,
+                                            pend.new_softs, res.crc):
+            if not pdu.tb_crc_ok:
+                self.harq_pool.put(cfg.rnti, hid, soft)
+        for cfg in ul_tti.pucch_f0:
+            det, metric, sr = take(3)
+            bits = (take(cfg.nof_harq_bits) > 0.5).astype(np.uint8)
             res.uci.append(UciIndicationPdu(
-                rnti=getattr(cfg, "rnti", 0), detected=bool(r["detected"]),
-                harq_bits=np.asarray(r["harq_bits"]), csi_bits=None,
-                metric=float(r["metric"])))
-        for cfg, r in zip(ul_tti.pucch_f1, out["pucch_f1"]):
+                rnti=getattr(cfg, "rnti", 0), detected=bool(det > 0.5),
+                harq_bits=bits, csi_bits=None, metric=float(metric),
+                sr_bit=int(sr > 0.5)))
+        for cfg in ul_tti.pucch_f1:
+            det, metric = take(2)
+            bits = (take(cfg.nof_harq_bits) > 0.5).astype(np.uint8)
             res.uci.append(UciIndicationPdu(
-                rnti=getattr(cfg, "rnti", 0), detected=bool(r["detected"]),
-                harq_bits=np.asarray(r["harq_bits"]), csi_bits=None,
-                metric=float(r["metric"])))
-        for cfg, r in zip(ul_tti.pucch_f2, out["pucch_f2"]):
+                rnti=getattr(cfg, "rnti", 0), detected=bool(det > 0.5),
+                harq_bits=bits, csi_bits=None, metric=float(metric)))
+        for cfg in ul_tti.pucch_f2:
+            ok, metric = take(2)
+            bits = (take(cfg.nof_uci_bits) > 0.5).astype(np.uint8)
             res.uci.append(UciIndicationPdu(
-                rnti=cfg.rnti, detected=bool(r["valid"]), harq_bits=None,
-                csi_bits=np.asarray(r["uci_bits"]), metric=float(r["metric"])))
-        for cfg, r in zip(ul_tti.prach, out["prach"]):
-            det = np.asarray(r["detected"])
-            mets = np.asarray(r["metrics"])
-            tas = np.asarray(r["ta_s"])
+                rnti=cfg.rnti, detected=bool(ok > 0.5), harq_bits=None,
+                csi_bits=bits, metric=float(metric)))
+        for cfg in ul_tti.pucch_f3 + ul_tti.pucch_f4:
+            ok, metric = take(2)
+            bits = (take(cfg.nof_uci_bits) > 0.5).astype(np.uint8)
+            res.uci.append(UciIndicationPdu(
+                rnti=cfg.rnti, detected=bool(ok > 0.5), harq_bits=None,
+                csi_bits=bits, metric=float(metric)))
+        for cfg in ul_tti.prach:
+            npre = cfg.nof_preambles
+            det = take(npre) > 0.5
+            mets = take(npre)
+            tas = take(npre)
+            take(1)  # rssi
             for idx in np.nonzero(det)[0]:
                 res.rach.append(RachIndicationPreamble(
                     preamble_index=int(idx), timing_advance_s=float(tas[idx]),
                     metric=float(mets[idx])))
-        for cfg, r in zip(ul_tti.srs, out["srs"]):
-            snr_db = float(10 * np.log10(
-                max(float(np.mean(np.asarray(r["snr"]))), 1e-9)))
+        for cfg in ul_tti.srs:
+            ta, snr = take(2)
+            n = 2 * self.cell.nof_ports * cfg.nof_ports
+            h = take(n)
+            wh = (h[:n // 2] + 1j * h[n // 2:]).reshape(
+                self.cell.nof_ports, cfg.nof_ports)
+            snr_db = float(10 * np.log10(max(float(snr), 1e-9)))
             res.srs.append(SrsIndicationPdu(
-                rnti=cfg.rnti, timing_advance_s=float(r["ta_s"]),
-                snr_db=snr_db, wideband_h=np.asarray(r["wideband_h"])))
+                rnti=cfg.rnti, timing_advance_s=float(ta), snr_db=snr_db,
+                wideband_h=wh))
+        assert i == len(s), f"packed scalar layout mismatch: {i} != {len(s)}"
         if self.pcap is not None:
             self.pcap.capture("slot_results", res)
         return res
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_ul_fn(cell: CellConfig, plan, slot_in_subframe: int = 0):
+    """Jitted UL slot program returning (packed scalars, packed payload,
+    per-PUSCH soft buffers) — the conductor's copy-free entry point."""
+    from ..phy.slot_programs import ul_slot_core
+    core = ul_slot_core(cell, plan, slot_in_subframe)
+
+    def run(samples, prach_fd, soft_buffers, ctx=None):
+        out = core(samples, prach_fd, soft_buffers, ctx)
+        scalars, payload = pack_ul_results(out)
+        new_softs = tuple(r["new_soft"] for r in out["pusch"])
+        return scalars, payload, new_softs
+
+    return jax.jit(run)

@@ -19,7 +19,8 @@ from ..phy.upper.ssb import SsbConfig
 from ..phy.upper.pdsch import PdschConfig
 from ..phy.upper.pdcch import PdcchConfig
 from ..phy.upper.pusch import PuschConfig
-from ..phy.upper.pucch import PucchF0Config, PucchF1Config, PucchF2Config
+from ..phy.upper.pucch import (PucchF0Config, PucchF1Config, PucchF2Config,
+                               PucchF3Config)
 from ..phy.upper.prach import PrachConfig
 
 
@@ -27,16 +28,34 @@ from ..phy.upper.prach import PrachConfig
 
 @dataclasses.dataclass
 class DlTtiRequest:
-    """Per-slot DL schedule (fapi::dl_tti_request_message)."""
+    """Per-slot DL schedule (fapi::dl_tti_request_message).
+
+    prs PDUs mirror the reference's dl_prs_pdu (the translator processes
+    them per dl_tti at fapi_to_phy_translator.cpp:395-404); PT-RS rides
+    inside PdschConfig.ptrs like the reference's pdsch_ptrs params.
+    """
 
     slot: SlotPoint
     ssb: tuple = ()        # tuple[SsbConfig]
     pdcch: tuple = ()      # tuple[PdcchConfig]
     pdsch: tuple = ()      # tuple[PdschConfig]
     csi_rs: tuple = ()     # tuple[CsiRsConfig]
+    prs: tuple = ()        # tuple[PrsConfig]
 
     def plan_key(self):
-        return (self.ssb, self.pdcch, self.pdsch, self.csi_rs)
+        return (self.ssb, self.pdcch, self.pdsch, self.csi_rs, self.prs)
+
+
+@dataclasses.dataclass
+class UlDciRequest:
+    """UL grants' PDCCH PDUs (fapi::ul_dci_request_message,
+    include/srsran/fapi/messages/ul_dci_request.h): same pdcch_pdu type as
+    dl_tti, transmitted in the DL slot program alongside dl_tti PDUs
+    (fapi_to_phy_translator.cpp:629 routes both to the PDCCH processor)."""
+
+    slot: SlotPoint
+    pdcch: tuple = ()         # tuple[PdcchConfig]
+    payloads: tuple = ()      # DCI payload bits per PDU
 
 
 @dataclasses.dataclass
@@ -69,22 +88,35 @@ class UlTtiRequest:
     pucch_f0: tuple = ()
     pucch_f1: tuple = ()
     pucch_f2: tuple = ()
+    pucch_f3: tuple = ()   # tuple[PucchF3Config] (occ_length == 1)
+    pucch_f4: tuple = ()   # tuple[PucchF3Config] (occ_length 2 | 4)
     prach: tuple = ()      # tuple[PrachConfig]
     srs: tuple = ()        # tuple[SrsConfig] (fapi ul_srs_pdu)
 
     def plan_key(self):
         return (self.pusch, self.pucch_f0, self.pucch_f1, self.pucch_f2,
-                self.prach, self.srs)
+                self.pucch_f3, self.pucch_f4, self.prach, self.srs)
 
 
 # -------------------------------------------------------------- indications
 
 @dataclasses.dataclass
 class CrcIndicationPdu:
+    """CRC.indication essentials + channel state information (the
+    reference's channel_state_information.h fields: per-port EPRE/RSRP/SINR,
+    TA, CFO, EVM)."""
+
     rnti: int
     tb_crc_ok: bool
     timing_advance_s: float
     snr_db: float
+    rsrp: float = 0.0            # linear, averaged over ports
+    cfo_hz: float = 0.0
+    evm: float = 0.0             # RMS EVM from hard decisions
+    nof_ldpc_iterations: float = 0.0
+    snr_port_db: Optional[np.ndarray] = None   # f32 [rx_ports]
+    rsrp_port: Optional[np.ndarray] = None     # f32 [rx_ports], linear
+    epre_port: Optional[np.ndarray] = None     # f32 [rx_ports], linear
 
 
 @dataclasses.dataclass
@@ -100,6 +132,7 @@ class UciIndicationPdu:
     harq_bits: Optional[np.ndarray]
     csi_bits: Optional[np.ndarray]
     metric: float
+    sr_bit: Optional[int] = None   # PUCCH F0 SR opportunity result
 
 
 @dataclasses.dataclass

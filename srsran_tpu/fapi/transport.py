@@ -217,7 +217,7 @@ def serve_phy(port: int = 0, host: str = "127.0.0.1",
                 pending_samples = body
             elif t == "ul_tti":
                 assert pending_samples is not None, "no UL samples available"
-                res = cond.process_ul(body["ul"], pending_samples)
+                res = cond.process_ul(body["ul"], pending_samples).resolve()
                 pending_samples = None
                 send_msg(conn, "slot_results", res)
             else:

@@ -84,6 +84,29 @@ def validate_dl_tti(dl: DlTtiRequest, cell: CellConfig):
             c.resolved_density()
         except ValueError as e:
             _check(False, f"csi_rs: {e}")
+    for p in dl.prs:
+        _check_alloc("prs", cell, p.rb_start, p.rb_count, p.first_symbol,
+                     p.nof_symbols)
+        _check(p.nof_symbols in (2, 4, 6, 12), "prs: 2/4/6/12 symbols")
+        _check(p.comb_size in (2, 4, 6, 12), "prs: comb size")
+        _check(0 <= p.comb_offset < p.comb_size, "prs: comb offset")
+        _check(0 <= p.n_id_prs < 4096, "prs: n_id_prs")
+        _check(p.rb_count * 12 % p.comb_size == 0,
+               "prs: allocation not a comb multiple")
+    for p in dl.pdsch:
+        if p.ptrs is not None:
+            _check(p.ptrs.time_density in (1, 2, 4), "ptrs: L_PT-RS 1/2/4")
+            _check(p.ptrs.freq_density in (2, 4), "ptrs: K_PT-RS 2/4")
+            _check(0 <= p.ptrs.re_offset < 12, "ptrs: RE offset")
+            _check(p.ptrs.port < p.nof_layers, "ptrs: port not a layer")
+
+
+def validate_ul_dci(ul_dci, cell: CellConfig):
+    """ul_dci_request PDUs share the dl_tti pdcch validator rules
+    (the reference routes both to the same PDCCH processor)."""
+    validate_dl_tti(DlTtiRequest(slot=ul_dci.slot, pdcch=ul_dci.pdcch), cell)
+    _check(len(ul_dci.payloads) == len(ul_dci.pdcch),
+           "ul_dci: payload count != pdcch PDU count")
 
 
 def validate_tx_data(tx: TxDataRequest, dl: DlTtiRequest):
@@ -122,6 +145,20 @@ def validate_ul_tti(ul: UlTtiRequest, cell: CellConfig):
         _check(f.rb_start + f.nof_rb <= cell.nof_rb, "pucch_f2: PRB range")
         _check(f.nof_symbols in (1, 2), "pucch_f2: 1-2 symbols")
         _check(f.nof_uci_bits >= 1, "pucch_f2: empty UCI")
+    for f in ul.pucch_f3:
+        _check(f.rb_start + f.nof_rb <= cell.nof_rb, "pucch_f3: PRB range")
+        _check(f.nof_rb in (1, 2, 3, 4, 5, 6, 8, 9, 10, 12, 15, 16),
+               "pucch_f3: PRB count must be 2^a 3^b 5^c (DFT sizes)")
+        _check(4 <= f.nof_symbols <= 14, "pucch_f3: 4-14 symbols")
+        _check(f.occ_length == 1, "pucch_f3: occ_length must be 1 (F4 PDUs "
+               "carry 2 or 4)")
+        _check(f.nof_uci_bits >= 1, "pucch_f3: empty UCI")
+    for f in ul.pucch_f4:
+        _check(f.nof_rb == 1, "pucch_f4: exactly 1 PRB")
+        _check(4 <= f.nof_symbols <= 14, "pucch_f4: 4-14 symbols")
+        _check(f.occ_length in (2, 4), "pucch_f4: occ_length 2 or 4")
+        _check(0 <= f.occ_index < f.occ_length, "pucch_f4: occ index")
+        _check(f.nof_uci_bits >= 1, "pucch_f4: empty UCI")
     for s in ul.srs:
         _check(s.rb_start + s.rb_count <= cell.nof_rb, "srs: PRB range")
         _check(s.nof_symbols in (1, 2, 4), "srs: 1/2/4 symbols")

@@ -64,6 +64,15 @@ def modulate(bits: jnp.ndarray, scheme: str) -> jnp.ndarray:
     return (scale * (i_amp + 1j * q_amp)).astype(jnp.complex64)
 
 
+def qpsk_np(bits: np.ndarray) -> np.ndarray:
+    """Host QPSK mapper (matches modulate(..., 'qpsk') exactly) — used by
+    the per-slot host sequence builders that feed pilot VALUES into the
+    jitted slot programs instead of computing Gold/QPSK on device."""
+    b = np.asarray(bits).reshape(-1, 2).astype(np.float32)
+    return (((1.0 - 2.0 * b[:, 0]) + 1j * (1.0 - 2.0 * b[:, 1]))
+            * np.float32(2 ** -0.5)).astype(np.complex64)
+
+
 @functools.lru_cache(maxsize=None)
 def _pam_levels(order: int) -> np.ndarray:
     """All 2^order PAM amplitudes indexed by the bit group value, plus the

@@ -69,8 +69,11 @@ def encode(bits: jnp.ndarray, e: int, qm: int = 1) -> jnp.ndarray:
 def _candidates(k: int, e: int, qm: int) -> np.ndarray:
     """All 2^K codewords as +-1 rows: [2^K, E] (+1 for bit 0)."""
     import itertools
+    import jax
     msgs = np.array(list(itertools.product([0, 1], repeat=k)), dtype=np.int8)
-    cw = np.asarray(encode(jnp.asarray(msgs), e, qm))
+    # must stay host-side even when first reached inside a jit trace
+    with jax.ensure_compile_time_eval():
+        cw = np.asarray(encode(jnp.asarray(msgs), e, qm))
     return (1.0 - 2.0 * cw).astype(np.float32)
 
 

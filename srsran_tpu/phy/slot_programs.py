@@ -28,6 +28,7 @@ from .upper import pucch as pucch_mod
 from .upper import prach as prach_mod
 from .upper import csi_rs as csi_rs_mod
 from .upper import srs as srs_mod
+from .upper import ptrs_prs as ptrs_prs_mod
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,10 +57,12 @@ class CellConfig:
 def dl_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
     """Un-jitted DL slot program builder (for jit or vmap over cells).
 
-    plan = (ssb_cfgs, pdcch_cfgs, pdsch_cfgs, csi_rs_cfgs).
+    plan = (ssb_cfgs, pdcch_cfgs, pdsch_cfgs, csi_rs_cfgs[, prs_cfgs]).
     Returned fn(ssb_mib, pdcch_payloads, pdsch_payloads) -> (samples, grid).
     """
-    ssb_cfgs, pdcch_cfgs, pdsch_cfgs, csi_cfgs = plan
+    if len(plan) == 4:          # pre-PRS plan tuples remain valid
+        plan = plan + ((),)
+    ssb_cfgs, pdcch_cfgs, pdsch_cfgs, csi_cfgs, prs_cfgs = plan
 
     def run(ssb_mib, pdcch_payloads, pdsch_payloads, ctx=None):
         """ctx: optional slot-varying traced inputs (see fapi.conductor):
@@ -80,12 +83,18 @@ def dl_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
                 grid = pdcch_mod.process(grid, bits, cfg, dmrs_cinits=ci)
         for i, (cfg, bits) in enumerate(zip(pdsch_cfgs, pdsch_payloads)):
             ci = ctx["pdsch"][i] if ctx else None
+            pci = ctx.get("ptrs", (None,) * len(pdsch_cfgs))[i] if ctx else None
             with jax.named_scope("pdsch"):
-                grid = pdsch_mod.process(grid, bits, cfg, dmrs_cinits=ci)
+                grid = pdsch_mod.process(grid, bits, cfg, dmrs_cinits=ci,
+                                         ptrs_cinits=pci)
         for i, cfg in enumerate(csi_cfgs):
             ci = ctx["csi"][i] if ctx else None
             with jax.named_scope("csi_rs"):
                 grid = csi_rs_mod.process(grid, cfg, c_init=ci)
+        for i, cfg in enumerate(prs_cfgs):
+            ci = ctx["prs"][i] if ctx else None
+            with jax.named_scope("prs"):
+                grid = ptrs_prs_mod.map_prs(grid, cfg, cinits=ci)
         with jax.named_scope("ofdm_modulate"):
             samples = ofdm.modulate_slot(
                 grid, cell.dft_size, cell.numerology, cell.cp,
@@ -106,15 +115,17 @@ def dl_slot_fn(cell: CellConfig, plan, slot_in_subframe: int = 0):
 def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
     """Un-jitted UL slot program builder (for jit or vmap over cells).
 
-    plan = (pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs[, srs_cfgs]).
+    plan = (pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs[, srs_cfgs
+    [, f3_cfgs]]) — f3_cfgs carry PucchF3Config for both F3 and F4 (the
+    occ_length field distinguishes, like the reference's demodulator split
+    pucch_demodulator_format3.cpp / format4.cpp).
     Returned fn(samples, prach_fd, soft_buffers) -> dict of result pytrees.
     prach_fd: [n_prach, ports, sym, L] frequency-domain PRACH captures (the
     lower-PHY PRACH demodulator output); soft_buffers: tuple per PUSCH
     (HARQ state, zeros when new data).
     """
-    if len(plan) == 5:          # pre-SRS plan tuples remain valid
-        plan = plan + ((),)
-    pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs, srs_cfgs = plan
+    plan = plan + ((),) * (7 - len(plan))   # older plan tuples remain valid
+    pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs, srs_cfgs, f3_cfgs = plan
 
     def run(samples, prach_fd, soft_buffers, ctx=None):
         with jax.named_scope("ofdm_demodulate"):
@@ -122,18 +133,29 @@ def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
                 samples, cell.nof_sc, cell.dft_size, cell.numerology, cell.cp,
                 slot_in_subframe, cell.center_freq_hz)
         out = {"pusch": [], "pucch_f0": [], "pucch_f1": [], "pucch_f2": [],
-               "prach": [], "srs": []}
+               "pucch_f3": [], "prach": [], "srs": []}
         for i, cfg in enumerate(pusch_cfgs):
             sb = soft_buffers[i] if soft_buffers is not None else None
             ci = ctx["pusch"][i] if ctx else None
             with jax.named_scope("pusch"):
                 res = pusch_mod.process(grid, cfg, soft_buffer=sb,
                                         dmrs_cinits=ci)
-            out["pusch"].append({
+            entry = {
                 "tb_bits": res.tb_bits, "tb_crc_ok": res.tb_crc_ok,
                 "new_soft": res.new_soft,
                 "snr": res.csi.snr, "ta_s": res.csi.time_alignment_s,
-                "rsrp": res.csi.rsrp, "cfo_hz": res.csi.cfo_hz})
+                "rsrp": res.csi.rsrp, "epre": res.csi.epre,
+                "cfo_hz": res.csi.cfo_hz,
+                "evm": res.evm,
+                "nof_iterations": (res.nof_iterations
+                                   if res.nof_iterations is not None
+                                   else jnp.zeros((), jnp.float32))}
+            for k in ("harq_ack", "csi1", "csi2"):
+                bits = getattr(res, f"{k}_bits")
+                if bits is not None:
+                    entry[f"{k}_bits"] = bits
+                    entry[f"{k}_valid"] = getattr(res, f"{k}_valid")
+            out["pusch"].append(entry)
         for i, cfg in enumerate(f0_cfgs):
             ncs = ctx["f0"][i] if ctx else None
             with jax.named_scope("pucch_f0"):
@@ -164,6 +186,11 @@ def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
             ci = ctx["f2"][i] if ctx else None
             with jax.named_scope("pucch_f2"):
                 out["pucch_f2"].append(pucch_mod.process_format2(grid, cfg, ci))
+        for i, cfg in enumerate(f3_cfgs):
+            ncs = ctx["f3"][i] if ctx else None
+            with jax.named_scope("pucch_f3"):
+                out["pucch_f3"].append(
+                    pucch_mod.process_format3(grid, cfg, ncs=ncs))
         for cfg in srs_cfgs:
             with jax.named_scope("srs"):
                 est = srs_mod.estimate(grid, cfg)

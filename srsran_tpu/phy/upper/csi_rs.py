@@ -197,6 +197,25 @@ def c_init_for(cfg: CsiRsConfig, slot_in_frame: int | None = None) -> np.ndarray
     return np.array(vals, dtype=np.uint32)
 
 
+def seq_values_for(cfg: CsiRsConfig,
+                   slot_in_frame: int | None = None) -> np.ndarray:
+    """Host-side Gold/QPSK sequence VALUES [n_used_symbols, spr*n_used]
+    complex64 (amplitude applied) — preferred traced input for process()."""
+    from ...ops.gold import gold_sequence_np
+    from ...ops.modulation import qpsk_np
+    sif = cfg.slot_in_frame if slot_in_frame is None else slot_in_frame
+    rbs = _used_rbs(cfg)
+    spr = _seq_per_rb(cfg)
+    adv = _nof_advance(cfg)
+    rows = []
+    for l in _used_symbols(cfg):
+        ci = ((1 << 10) * (14 * sif + l + 1) * (2 * cfg.scrambling_id + 1)
+              + cfg.scrambling_id) % (1 << 31)
+        rows.append(qpsk_np(gold_sequence_np(ci, 2 * spr * len(rbs),
+                                             advance=2 * adv)))
+    return (np.stack(rows, axis=0) * cfg.amplitude).astype(np.complex64)
+
+
 def process(grid: jnp.ndarray, cfg: CsiRsConfig, c_init=None,
             precoding: np.ndarray | None = None) -> jnp.ndarray:
     """Map NZP-CSI-RS into a [P, nsym, nsc] grid.
@@ -229,13 +248,19 @@ def process(grid: jnp.ndarray, cfg: CsiRsConfig, c_init=None,
 
     # One Gold/QPSK sequence per used OFDM symbol.
     seqs = {}
-    for i, l in enumerate(syms):
-        if c_init is None:
-            ci = int(c_init_for(cfg)[i]) if len(syms) > 1 else int(c_init_for(cfg))
-        else:
-            ci = c_init[i] if len(syms) > 1 else c_init
-        bits = gold_sequence(ci, 2 * spr * n_used, advance=2 * adv)
-        seqs[l] = modulate(bits[None], "qpsk")[0] * cfg.amplitude  # [spr*n_used]
+    if c_init is not None and jnp.issubdtype(
+            getattr(c_init, "dtype", jnp.uint32), jnp.complexfloating):
+        vals = jnp.asarray(c_init)            # host-built (seq_values_for)
+        for i, l in enumerate(syms):
+            seqs[l] = vals[i]
+    else:
+        for i, l in enumerate(syms):
+            if c_init is None:
+                ci = int(c_init_for(cfg)[i]) if len(syms) > 1 else int(c_init_for(cfg))
+            else:
+                ci = c_init[i] if len(syms) > 1 else c_init
+            bits = gold_sequence(ci, 2 * spr * n_used, advance=2 * adv)
+            seqs[l] = modulate(bits[None], "qpsk")[0] * cfg.amplitude  # [spr*n_used]
 
     # Collect (phys_port, sym, sc, value) in vectorized blocks, one
     # scatter-add per physical port.

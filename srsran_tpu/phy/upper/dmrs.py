@@ -85,6 +85,38 @@ def c_inits_for(cfg: DmrsConfig, slot_in_frame: int | None = None) -> np.ndarray
          for l in cfg.symbols], dtype=np.uint32)
 
 
+@functools.lru_cache(maxsize=8192)
+def pilot_values_for(cfg: DmrsConfig,
+                     slot_in_frame: int | None = None) -> np.ndarray:
+    """Host-side QPSK pilot base sequences [nsym, npilot] complex64.
+
+    The preferred slot-varying traced input: uploading the VALUES (a few
+    10s of kB) replaces per-symbol Gold + QPSK device ops — slot indices
+    cycle so the lru_cache makes the host cost one-time per slot phase.
+    (pilots_for_port accepts this array wherever c_inits is accepted.)
+    """
+    from ...ops.gold import gold_sequence_np
+    from ...ops.modulation import qpsk_np
+    per_rb = 6 if cfg.config_type == 1 else 4
+    npilot = per_rb * cfg.rb_count
+    adv = 2 * per_rb * cfg.rb_start
+    sif = cfg.slot_in_frame if slot_in_frame is None else slot_in_frame
+    rows = []
+    for l in cfg.symbols:
+        ci = ((1 << 17) * (14 * sif + l + 1) * (2 * cfg.scrambling_id + 1)
+              + 2 * cfg.scrambling_id + cfg.n_scid) % (1 << 31)
+        rows.append(qpsk_np(gold_sequence_np(ci, 2 * npilot, advance=adv)))
+    return (np.stack(rows, axis=0) * cfg.amplitude).astype(np.complex64)
+
+
+def _is_values(c_inits) -> bool:
+    """True when the slot-context entry carries pilot VALUES [S, K]
+    (complex) rather than c_init scalars [S] (uint32)."""
+    return (c_inits is not None and getattr(c_inits, "ndim", 1) == 2
+            and jnp.issubdtype(
+                getattr(c_inits, "dtype", jnp.uint32), jnp.complexfloating))
+
+
 def sequence(cfg: DmrsConfig, symbol: int, c_init=None) -> jnp.ndarray:
     """Base QPSK pilot sequence for one symbol, length 6*rb_count.
 
@@ -115,6 +147,13 @@ def pilots_for_port(cfg: DmrsConfig, port: int, c_inits=None) -> jnp.ndarray:
     """
     cfgmap = TYPE1_PORT_CONFIG if cfg.config_type == 1 else TYPE2_PORT_CONFIG
     delta, wf, wt = cfgmap[port]
+    if _is_values(c_inits):
+        vals = jnp.asarray(c_inits)                        # [S, K] pilots
+        npil = vals.shape[-1]
+        cover = (np.where(np.arange(npil) % 2 == 0, wf[0], wf[1])[None, :]
+                 * np.array([wt[i % 2] for i in range(vals.shape[0])],
+                            np.float32)[:, None]).astype(np.float32)
+        return vals * jnp.asarray(cover)
     rows = []
     for i, l in enumerate(cfg.symbols):
         seq = sequence(cfg, l, None if c_inits is None else c_inits[i])

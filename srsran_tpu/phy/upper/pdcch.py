@@ -219,9 +219,43 @@ def dmrs_cinits_for(cfg: PdcchConfig, slot_in_frame: int | None = None) -> np.nd
         dtype=np.uint32)
 
 
+@functools.lru_cache(maxsize=8192)
+def dmrs_values_for(cfg: PdcchConfig,
+                    slot_in_frame: int | None = None) -> np.ndarray:
+    """Host-side DM-RS pilot VALUES in candidate order (complex64 [n_dmrs]).
+
+    Preferred traced input for process(): replaces the per-symbol device
+    Gold + QPSK + gather with one uploaded vector (lru-cached per slot)."""
+    from ...ops.gold import gold_sequence_np
+    from ...ops.modulation import qpsk_np
+    sif = cfg.slot_in_frame if slot_in_frame is None else slot_in_frame
+    _, dmrs_pos, dmrs_prb = _candidate_re_plan(
+        cfg.coreset, cfg.cce_index, cfg.aggregation_level)
+    out = []
+    for l in sorted(set(dmrs_pos[:, 0].tolist())):
+        sel = dmrs_pos[:, 0] == l
+        prbs = dmrs_prb[sel]
+        c_init = ((1 << 17) * (14 * sif + l + 1)
+                  * (2 * cfg.n_id + 1) + 2 * cfg.n_id) % (1 << 31)
+        pmin, pmax = int(prbs.min()), int(prbs.max())
+        pilots = qpsk_np(gold_sequence_np(c_init, 2 * 3 * (pmax - pmin + 1),
+                                          advance=2 * 3 * pmin))
+        idx = []
+        counters = {}
+        for p in prbs:
+            k = counters.get(p, 0)
+            idx.append(3 * (p - pmin) + k)
+            counters[p] = k + 1
+        out.append(pilots[np.array(idx, dtype=np.int32)])
+    return np.concatenate(out).astype(np.complex64)
+
+
 def _dmrs_values(cfg: PdcchConfig, dmrs_pos: np.ndarray,
                  dmrs_prb: np.ndarray, cinits=None) -> jnp.ndarray:
     """QPSK pilots; Gold advance = 2*3*prb within each symbol's sequence."""
+    if cinits is not None and jnp.issubdtype(
+            getattr(cinits, "dtype", jnp.uint32), jnp.complexfloating):
+        return jnp.asarray(cinits)         # host-built values (dmrs_values_for)
     out = []
     for l in sorted(set(dmrs_pos[:, 0].tolist())):
         sel = dmrs_pos[:, 0] == l

@@ -32,6 +32,18 @@ from .dmrs import DmrsConfig, map_to_grid as map_dmrs, TYPE1_PORT_CONFIG
 
 
 @dataclasses.dataclass(frozen=True)
+class PdschPtrs:
+    """PT-RS parameters riding inside the PDSCH PDU (the reference nests
+    ptrs fields in dl_pdsch_pdu and maps them in
+    lib/phy/upper/signal_processors/ptrs/ptrs_pdsch_generator_impl.cpp)."""
+
+    time_density: int = 1      # L_PT-RS: 1, 2, 4
+    freq_density: int = 2      # K_PT-RS: 2 or 4 (every K-th RB)
+    re_offset: int = 0         # k_RE_ref
+    port: int = 0              # antenna port carrying PT-RS
+
+
+@dataclasses.dataclass(frozen=True)
 class PdschConfig:
     """Static PDSCH PDU description (mirror of fapi dl_pdsch_pdu essentials)."""
 
@@ -52,18 +64,30 @@ class PdschConfig:
     slot_in_frame: int = 0
     numerology: int = 0
     reserved_cdm_groups: int = 2  # DM-RS CDM groups without data (1 or 2)
+    ptrs: PdschPtrs | None = None  # PT-RS on, with these params
 
 
 @functools.lru_cache(maxsize=None)
 def _data_re_plan(rb_start: int, rb_count: int, first_symbol: int,
                   nof_symbols: int, dmrs_symbols: tuple,
-                  reserved_cdm_groups: int) -> np.ndarray:
+                  reserved_cdm_groups: int,
+                  ptrs: "PdschPtrs | None" = None) -> np.ndarray:
     """(symbol, subcarrier) positions of data REs in mapping order.
 
     Frequency-first within each symbol, symbols ascending (TS38.211
     §7.3.1.5).  On DM-RS symbols, CDM groups without data are excluded
-    (group 0 = even REs, group 1 = odd REs for type 1).
+    (group 0 = even REs, group 1 = odd REs for type 1).  PT-RS REs (when
+    configured) are excluded on every layer — data maps around them.
     """
+    ptrs_re = set()
+    if ptrs is not None:
+        from .ptrs_prs import PtrsConfig, ptrs_positions
+        pos = ptrs_positions(PtrsConfig(
+            rb_start=rb_start, rb_count=rb_count, first_symbol=first_symbol,
+            nof_symbols=nof_symbols, dmrs_symbols=dmrs_symbols,
+            time_density=ptrs.time_density, freq_density=ptrs.freq_density,
+            re_offset=ptrs.re_offset, port=ptrs.port))
+        ptrs_re = {(int(l), int(k)) for l, k in pos}
     out = []
     scs = np.arange(rb_start * 12, (rb_start + rb_count) * 12, dtype=np.int32)
     for l in range(first_symbol, first_symbol + nof_symbols):
@@ -71,16 +95,18 @@ def _data_re_plan(rb_start: int, rb_count: int, first_symbol: int,
             if reserved_cdm_groups >= 2:
                 continue                      # whole symbol reserved
             keep = scs[scs % 2 == 1]          # group 0 (even comb) is DM-RS
-            out.extend((l, int(k)) for k in keep)
+            out.extend((l, int(k)) for k in keep
+                       if (l, int(k)) not in ptrs_re)
         else:
-            out.extend((l, int(k)) for k in scs)
+            out.extend((l, int(k)) for k in scs
+                       if (l, int(k)) not in ptrs_re)
     return np.array(out, dtype=np.int32)
 
 
 def nof_data_re(cfg: PdschConfig) -> int:
     return len(_data_re_plan(cfg.rb_start, cfg.rb_count, cfg.first_symbol,
                              cfg.nof_symbols, cfg.dmrs_symbols,
-                             cfg.reserved_cdm_groups))
+                             cfg.reserved_cdm_groups, cfg.ptrs))
 
 
 def _cb_rate_match_sizes(g_total: int, c: int, qm: int, nl: int) -> list:
@@ -135,7 +161,7 @@ def dmrs_config(cfg: PdschConfig) -> DmrsConfig:
 
 def process(grid: jnp.ndarray, payload_bits: jnp.ndarray, cfg: PdschConfig,
             precoding: np.ndarray | None = None,
-            dmrs_cinits=None) -> jnp.ndarray:
+            dmrs_cinits=None, ptrs_cinits=None) -> jnp.ndarray:
     """Run the full PDSCH chain into a [P, nsym, nsc] resource grid.
 
     dmrs_cinits: optional traced uint32 [nof_dmrs_symbols] so the compiled
@@ -156,11 +182,23 @@ def process(grid: jnp.ndarray, payload_bits: jnp.ndarray, cfg: PdschConfig,
         ports = precode(layers, jnp.asarray(precoding))             # [P, S/L]
     plan = _data_re_plan(cfg.rb_start, cfg.rb_count, cfg.first_symbol,
                          cfg.nof_symbols, cfg.dmrs_symbols,
-                         cfg.reserved_cdm_groups)
+                         cfg.reserved_cdm_groups, cfg.ptrs)
     sym_idx = jnp.asarray(plan[:, 0])
     sc_idx = jnp.asarray(plan[:, 1])
     with jax.named_scope("map_to_grid"):
         grid = grid.at[:, sym_idx, sc_idx].add(ports)
     with jax.named_scope("dmrs"):
         grid = map_dmrs(grid, dmrs_config(cfg), precoding, dmrs_cinits)
+    if cfg.ptrs is not None:
+        from .ptrs_prs import PtrsConfig, map_ptrs
+        with jax.named_scope("ptrs"):
+            grid = map_ptrs(grid, PtrsConfig(
+                rb_start=cfg.rb_start, rb_count=cfg.rb_count,
+                first_symbol=cfg.first_symbol, nof_symbols=cfg.nof_symbols,
+                dmrs_symbols=cfg.dmrs_symbols,
+                time_density=cfg.ptrs.time_density,
+                freq_density=cfg.ptrs.freq_density,
+                re_offset=cfg.ptrs.re_offset, port=cfg.ptrs.port,
+                scrambling_id=cfg.dmrs_scrambling_id, n_scid=cfg.n_scid,
+                slot_in_frame=cfg.slot_in_frame), cinits=ptrs_cinits)
     return grid

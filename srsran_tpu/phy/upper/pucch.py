@@ -102,6 +102,21 @@ _F0_TABLES = {
 }
 
 
+def f0_refs_for(cfg: PucchF0Config, slot: int | None = None) -> np.ndarray:
+    """Host-side candidate reference sequences [C, S, 12] complex64 —
+    preferred traced input for detect_format0 (replaces device trig)."""
+    table = _F0_TABLES[(cfg.nof_harq_bits, cfg.sr_opportunity)]
+    mcs = np.array([m for m, _, _ in table])
+    n = np.arange(12)
+    base = base_sequence(cfg.n_id % 30, 0, 12)
+    sl = cfg.slot if slot is None else slot
+    ncs_v = _ncs_table(cfg.n_id, sl)[
+        cfg.start_symbol: cfg.start_symbol + cfg.nof_symbols]
+    alpha = 2 * np.pi / 12 * ((cfg.initial_cyclic_shift
+                               + mcs[:, None] + ncs_v[None, :]) % 12)
+    return (np.exp(1j * alpha[..., None] * n) * base).astype(np.complex64)
+
+
 def detect_format0(grid: jnp.ndarray, cfg: PucchF0Config,
                    threshold: float = 4.0, ncs=None):
     """Detect HARQ/SR on PUCCH F0 (pucch_detector_format0.cpp:118-235).
@@ -130,7 +145,10 @@ def detect_format0(grid: jnp.ndarray, cfg: PucchF0Config,
     mcs = np.array([m for m, _, _ in table])
     n = np.arange(12)
     base = base_sequence(cfg.n_id % 30, 0, 12)
-    if ncs is None:
+    if ncs is not None and jnp.issubdtype(
+            getattr(ncs, "dtype", jnp.uint32), jnp.complexfloating):
+        refs = jnp.asarray(ncs)            # host-built (f0_refs_for)
+    elif ncs is None:
         ncs_v = _ncs_table(cfg.n_id, cfg.slot)[
             cfg.start_symbol: cfg.start_symbol + cfg.nof_symbols]
         alpha = 2 * np.pi / 12 * ((cfg.initial_cyclic_shift
@@ -271,6 +289,41 @@ def detect_format1(grid: jnp.ndarray, cfg: PucchF1Config,
             "harq_bits": bits, "symbol": d_hat}
 
 
+def f1_batch_weights(common: PucchF1Config, users: tuple,
+                     slot: int | None = None) -> tuple:
+    """Host-side per-hop weight tensors for detect_format1_batch:
+    ((a_dm [U,S,12], ph [U,S,12], w_da [U,S]), ...) complex64.
+
+    Preferred traced input — the device program reduces to two einsums per
+    hop with zero trig/sequence ops."""
+    sl = common.slot if slot is None else slot
+    n12 = np.arange(12)
+    base = base_sequence(common.n_id % 30, 0, 12)
+    m0s = np.array([u[0] for u in users], np.float32)
+    out = []
+    for prb, s0, nsym in _f1_hops(common):
+        l_lo = common.start_symbol + s0
+        rel = list(range(s0, s0 + nsym))
+        dmrs_rel = [s for s in rel if s % 2 == 0]
+        data_rel = [s for s in rel if s % 2 == 1]
+        w_dm = np.zeros((len(users), nsym), np.complex64)
+        w_da = np.zeros((len(users), nsym), np.complex64)
+        for ui, (_, occ_i, _) in enumerate(users):
+            od = _occ(occ_i, len(dmrs_rel))
+            oa = _occ(occ_i, max(len(data_rel), 1))
+            for i, s in enumerate(dmrs_rel):
+                w_dm[ui, s - s0] = np.conj(od[i])
+            for i, s in enumerate(data_rel):
+                w_da[ui, s - s0] = np.conj(oa[i])
+        ncs_v = _ncs_table(common.n_id, sl)[l_lo: l_lo + nsym]
+        alpha = 2 * np.pi / 12 * ((m0s[:, None] + ncs_v[None]) % 12)
+        # fold conj(base) in: the device applies these to the RAW rx slice
+        ph = (np.exp(-1j * alpha[..., None] * n12)
+              * np.conj(base)).astype(np.complex64)
+        out.append(((ph * w_dm[..., None]).astype(np.complex64), ph, w_da))
+    return tuple(out)
+
+
 def detect_format1_batch(grid: jnp.ndarray, common: PucchF1Config,
                          users: tuple, threshold: float = 1.5, ncs=None):
     """Batch-detect all users multiplexed on one PRB (mirror of the
@@ -290,11 +343,14 @@ def detect_format1_batch(grid: jnp.ndarray, common: PucchF1Config,
     u_count = len(users)
     n12 = np.arange(12)
     base = base_sequence(common.n_id % 30, 0, 12)
+    # `ncs` may carry the host-built weight tuple from f1_batch_weights
+    # (per-hop (a_dm, ph, w_da)) — the fast conductor path.
+    weights = ncs if isinstance(ncs, (tuple, list)) else None
     # per-user accumulators across hops
     z_chunks = []                    # list of [U, n_data_hop]
     h_energy = jnp.zeros((u_count,), jnp.float32)
     n_data_total = 0
-    for prb, s0, nsym in _f1_hops(common):
+    for hop_i, (prb, s0, nsym) in enumerate(_f1_hops(common)):
         l_lo = common.start_symbol + s0
         rel = list(range(s0, s0 + nsym))
         dmrs_rel = [s for s in rel if s % 2 == 0]
@@ -302,32 +358,37 @@ def detect_format1_batch(grid: jnp.ndarray, common: PucchF1Config,
         n_dm = max(len(dmrs_rel), 1)
         rx = jax.lax.slice(grid, (0, l_lo, prb * 12),
                            (nports, l_lo + nsym, prb * 12 + 12))
-        d0 = rx * jnp.conj(jnp.asarray(base))[None, None]    # [P, S, 12]
-        # Per-user per-symbol conjugated reference phase + OCC weights.
-        m0s = np.array([u[0] for u in users], np.float32)    # [U]
-        w_dm = np.zeros((u_count, nsym), np.complex64)
-        w_da = np.zeros((u_count, nsym), np.complex64)
-        for ui, (_, occ_i, _) in enumerate(users):
-            od = _occ(occ_i, len(dmrs_rel))
-            oa = _occ(occ_i, max(len(data_rel), 1))
-            for i, s in enumerate(dmrs_rel):
-                w_dm[ui, s - s0] = np.conj(od[i])
-            for i, s in enumerate(data_rel):
-                w_da[ui, s - s0] = np.conj(oa[i])
-        if ncs is None:
-            ncs_v = _ncs_table(common.n_id, common.slot)[l_lo: l_lo + nsym]
-            alpha = 2 * np.pi / 12 * ((m0s[:, None] + ncs_v[None]) % 12)
-            ph = np.exp(-1j * alpha[..., None] * n12).astype(np.complex64)
-            a_dm = jnp.asarray(ph * w_dm[..., None])         # [U, S, 12]
-            ph_j = jnp.asarray(ph)
+        if weights is not None:
+            a_dm, ph_j, w_da = (jnp.asarray(w) for w in weights[hop_i])
+            d0 = rx                    # conj(base) folded into the weights
         else:
-            ncs_v = jax.lax.slice(jnp.asarray(ncs), (l_lo,),
-                                  (l_lo + nsym,)).astype(jnp.float32)
-            alpha = (2 * jnp.pi / 12) * jnp.mod(
-                jnp.asarray(m0s)[:, None] + ncs_v[None], 12.0)
-            phase = -alpha[..., None] * jnp.asarray(n12, jnp.float32)
-            ph_j = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
-            a_dm = ph_j * jnp.asarray(w_dm)[..., None]
+            d0 = rx * jnp.conj(jnp.asarray(base))[None, None]  # [P, S, 12]
+            # Per-user per-symbol conjugated reference phase + OCC weights.
+            m0s = np.array([u[0] for u in users], np.float32)  # [U]
+            w_dm = np.zeros((u_count, nsym), np.complex64)
+            w_da = np.zeros((u_count, nsym), np.complex64)
+            for ui, (_, occ_i, _) in enumerate(users):
+                od = _occ(occ_i, len(dmrs_rel))
+                oa = _occ(occ_i, max(len(data_rel), 1))
+                for i, s in enumerate(dmrs_rel):
+                    w_dm[ui, s - s0] = np.conj(od[i])
+                for i, s in enumerate(data_rel):
+                    w_da[ui, s - s0] = np.conj(oa[i])
+            if ncs is None:
+                ncs_v = _ncs_table(common.n_id, common.slot)[l_lo: l_lo + nsym]
+                alpha = 2 * np.pi / 12 * ((m0s[:, None] + ncs_v[None]) % 12)
+                ph = np.exp(-1j * alpha[..., None] * n12).astype(np.complex64)
+                a_dm = jnp.asarray(ph * w_dm[..., None])     # [U, S, 12]
+                ph_j = jnp.asarray(ph)
+            else:
+                ncs_v = jax.lax.slice(jnp.asarray(ncs), (l_lo,),
+                                      (l_lo + nsym,)).astype(jnp.float32)
+                alpha = (2 * jnp.pi / 12) * jnp.mod(
+                    jnp.asarray(m0s)[:, None] + ncs_v[None], 12.0)
+                phase = -alpha[..., None] * jnp.asarray(n12, jnp.float32)
+                ph_j = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+                a_dm = ph_j * jnp.asarray(w_dm)[..., None]
+            w_da = jnp.asarray(w_da)
         # Channel per user: h0[u, p] = mean_n sum_s d0 * phase * w_dm / n_dm
         dm = jnp.einsum("psn,usn->upn", d0, a_dm)
         h0 = jnp.mean(dm, axis=-1) / n_dm                    # [U, P]
@@ -338,7 +399,7 @@ def detect_format1_batch(grid: jnp.ndarray, common: PucchF1Config,
         if data_rel:
             idx = jnp.asarray(np.array([s - s0 for s in data_rel], np.int32))
             z_chunks.append(jnp.take(z_us, idx, axis=1)
-                            * jnp.take(jnp.asarray(w_da), idx, axis=1))
+                            * jnp.take(w_da, idx, axis=1))
         n_data_total += len(data_rel)
     z_s = jnp.concatenate(z_chunks, axis=1)                  # [U, D]
     z_mean = jnp.mean(z_s, axis=1)                           # [U]
@@ -476,6 +537,24 @@ def f3_encode(uci_bits, cfg: PucchF3Config):
     return out
 
 
+def f3_dmrs_values_for(cfg: PucchF3Config,
+                       slot: int | None = None) -> np.ndarray:
+    """Host-side F3/F4 DM-RS sequences [n_dmrs_symbols, M] complex64 in
+    _f3_symbol_split order — preferred traced input for process_format3."""
+    sl = cfg.slot if slot is None else slot
+    dmrs_rel, _ = _f3_symbol_split(cfg)
+    u = cfg.n_id_hopping % 30
+    mlen = cfg.nof_rb * 12
+    rows = []
+    for s in dmrs_rel:
+        l = cfg.start_symbol + s
+        ncs_v = _ncs_table(cfg.n_id_hopping, sl)[l]
+        alpha = 2 * np.pi / 12 * (ncs_v % 12)
+        rows.append(np.exp(1j * alpha * np.arange(mlen))
+                    * base_sequence(u, 0, mlen))
+    return np.stack(rows, axis=0).astype(np.complex64)
+
+
 def process_format3(grid: jnp.ndarray, cfg: PucchF3Config, ncs=None):
     """F3/F4 receive: estimate from DM-RS, equalize, inverse transform
     precode, (de-spread,) demap, descramble, UCI decode."""
@@ -487,12 +566,20 @@ def process_format3(grid: jnp.ndarray, cfg: PucchF3Config, ncs=None):
     m = cfg.nof_rb * 12
     sc = jnp.arange(cfg.rb_start * 12, cfg.rb_start * 12 + m)
     dmrs_rel, data_rel = _f3_symbol_split(cfg)
+    dmrs_vals = None
+    if ncs is not None and jnp.issubdtype(
+            getattr(ncs, "dtype", jnp.uint32), jnp.complexfloating):
+        dmrs_vals, ncs = jnp.asarray(ncs), None   # f3_dmrs_values_for
 
     h_acc = jnp.zeros((grid.shape[0], m), dtype=jnp.complex64)
     noise_acc = 0.0
-    for s in dmrs_rel:
+    for si, s in enumerate(dmrs_rel):
         l = cfg.start_symbol + s
-        ref = jnp.asarray(_f3_dmrs_seq(cfg, l, None if ncs is None else ncs[l]))
+        if dmrs_vals is not None:
+            ref = dmrs_vals[si]
+        else:
+            ref = jnp.asarray(
+                _f3_dmrs_seq(cfg, l, None if ncs is None else ncs[l]))
         rx = grid[:, l, sc]
         ls = rx * jnp.conj(ref)
         h_acc = h_acc + ls
@@ -553,9 +640,27 @@ def f2_dmrs_cinits(cfg: PucchF2Config, slot: int | None = None):
         dtype=np.uint32)
 
 
+def f2_pilot_values_for(cfg: PucchF2Config,
+                        slot: int | None = None) -> np.ndarray:
+    """Host-side F2 DM-RS pilot VALUES [nof_symbols, 4*nof_rb] complex64 —
+    preferred traced input for process_format2."""
+    from ...ops.gold import gold_sequence_np
+    from ...ops.modulation import qpsk_np
+    cis = f2_dmrs_cinits(cfg, slot)
+    npil = 4 * cfg.nof_rb
+    adv = 2 * 4 * cfg.rb_start
+    return np.stack([
+        qpsk_np(gold_sequence_np(int(ci), 2 * npil, advance=adv))
+        for ci in cis], axis=0).astype(np.complex64)
+
+
 def process_format2(grid: jnp.ndarray, cfg: PucchF2Config, dmrs_cinits=None):
     """Estimate (comb-3 DM-RS), equalize, demap, descramble, UCI-decode."""
     p = grid.shape[0]
+    pilot_vals = None
+    if dmrs_cinits is not None and jnp.issubdtype(
+            getattr(dmrs_cinits, "dtype", jnp.uint32), jnp.complexfloating):
+        pilot_vals, dmrs_cinits = jnp.asarray(dmrs_cinits), None
     data_sc, dmrs_sc = [], []
     for rb in range(cfg.rb_start, cfg.rb_start + cfg.nof_rb):
         for k in range(12):
@@ -568,18 +673,21 @@ def process_format2(grid: jnp.ndarray, cfg: PucchF2Config, dmrs_cinits=None):
     noise_acc = 0.0
     for s in range(cfg.nof_symbols):
         l = cfg.start_symbol + s
-        # DM-RS pilots: Gold c_init per TS38.211 §6.4.1.3.2.1 with n_id0
-        if dmrs_cinits is None:
-            c_init = ((1 << 17) * (14 * cfg.slot + l + 1) * (2 * cfg.n_id0 + 1)
-                      + 2 * cfg.n_id0) % (1 << 31)
+        if pilot_vals is not None:
+            pilots = pilot_vals[s]
         else:
-            c_init = dmrs_cinits[s]
-        npil = 4 * cfg.nof_rb
-        adv = 2 * 4 * cfg.rb_start
-        from ...ops.gold import gold_sequence
-        from ...ops.modulation import modulate
-        bits = gold_sequence(c_init, 2 * npil, advance=adv)
-        pilots = modulate(bits[None], "qpsk")[0]
+            # DM-RS pilots: Gold c_init per TS38.211 §6.4.1.3.2.1 with n_id0
+            if dmrs_cinits is None:
+                c_init = ((1 << 17) * (14 * cfg.slot + l + 1)
+                          * (2 * cfg.n_id0 + 1) + 2 * cfg.n_id0) % (1 << 31)
+            else:
+                c_init = dmrs_cinits[s]
+            npil = 4 * cfg.nof_rb
+            adv = 2 * 4 * cfg.rb_start
+            from ...ops.gold import gold_sequence
+            from ...ops.modulation import modulate
+            bits = gold_sequence(c_init, 2 * npil, advance=adv)
+            pilots = modulate(bits[None], "qpsk")[0]
         rx_pil = grid[:, l, jnp.asarray(dmrs_sc)]               # [P, npil]
         ls = rx_pil * jnp.conj(pilots)[None]
         h_pil = jnp.mean(ls, axis=-1, keepdims=True) * jnp.ones_like(ls)

@@ -32,6 +32,7 @@ from .dmrs import DmrsConfig, pilots_for_port, _type1_sc_indices, TYPE1_PORT_CON
 from .pdsch import _data_re_plan, _cb_rate_match_sizes
 from . import sch_decoder
 from . import uci as uci_codec
+from ...ops import evm as evm_ops
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,7 +95,7 @@ class PuschResult:
     cb_crc_ok: jnp.ndarray
     new_soft: jnp.ndarray
     csi: chest.ChannelEstimate
-    evm_proxy: jnp.ndarray      # mean |llr| as a cheap quality proxy
+    evm: jnp.ndarray            # RMS EVM from hard decisions (ops.evm)
     harq_ack_bits: jnp.ndarray | None = None
     harq_ack_valid: jnp.ndarray | None = None
     csi1_bits: jnp.ndarray | None = None
@@ -286,15 +287,21 @@ def codeword_llrs(grid: jnp.ndarray, cfg: PuschConfig, dmrs_cinits=None):
     nvs = out_nv.reshape(-1)
     with jax.named_scope("demodulate"):
         llr = demodulate(syms[None], nvs[None], cfg.modulation)
+    with jax.named_scope("evm"):
+        # real EVM from hard decisions on the equalized symbols (the
+        # reference's evm_calculator_generic_impl hook inside the
+        # demodulator, pusch_demodulator_impl.cpp)
+        evm_val = evm_ops.evm(syms, llr[0], cfg.modulation)
     c_init = (cfg.rnti << 15) + cfg.n_id
     with jax.named_scope("descramble"):
         llr = descramble_llrs(llr, c_init)[0]
-    return llr, est
+    return llr, est, evm_val
 
 
 def decode_from_llrs(llr: jnp.ndarray, est, cfg: PuschConfig,
                      soft_buffer: jnp.ndarray | None = None,
-                     nof_iterations: int = 6) -> PuschResult:
+                     nof_iterations: int = 6,
+                     evm_val: jnp.ndarray | None = None) -> PuschResult:
     """UL-SCH demux + UCI decode + rate dematch + LDPC decode from
     descrambled codeword LLRs (the back half of process())."""
     c_init = (cfg.rnti << 15) + cfg.n_id
@@ -341,7 +348,9 @@ def decode_from_llrs(llr: jnp.ndarray, est, cfg: PuschConfig,
                                  nof_iterations=nof_iterations)
     return PuschResult(tb_bits=res.tb_bits, tb_crc_ok=res.tb_crc_ok,
                        cb_crc_ok=res.cb_crc_ok, new_soft=res.new_soft,
-                       csi=est, evm_proxy=jnp.mean(jnp.abs(llr)),
+                       csi=est,
+                       evm=(jnp.mean(jnp.abs(llr)) if evm_val is None
+                            else evm_val),
                        nof_iterations=res.nof_iterations, **uci_out)
 
 
@@ -350,8 +359,9 @@ def process(grid: jnp.ndarray, cfg: PuschConfig,
             nof_iterations: int = 6,
             dmrs_cinits=None) -> PuschResult:
     """Full PUSCH receive.  grid: complex64 [P, nsym, nsc] rx resource grid."""
-    llr, est = codeword_llrs(grid, cfg, dmrs_cinits)
-    return decode_from_llrs(llr, est, cfg, soft_buffer, nof_iterations)
+    llr, est, evm_val = codeword_llrs(grid, cfg, dmrs_cinits)
+    return decode_from_llrs(llr, est, cfg, soft_buffer, nof_iterations,
+                            evm_val=evm_val)
 
 
 def process_with_part2_feedback(grid: jnp.ndarray, cfg: PuschConfig,
@@ -372,7 +382,7 @@ def process_with_part2_feedback(grid: jnp.ndarray, cfg: PuschConfig,
     from ...ran.uci_on_pusch import uci_part2_get_size
     u = cfg.uci
     assert u.o_csi1 > 0, "part-2 feedback needs CSI part 1 on PUSCH"
-    llr, est = codeword_llrs(grid, cfg, dmrs_cinits)
+    llr, est, evm_val = codeword_llrs(grid, cfg, dmrs_cinits)
     # Phase 1: CSI1 placement is independent of the part-2 size (CSI2 fills
     # strictly later free REs), so decode part 1 under an o_csi2=0 plan.
     cfg1 = dataclasses.replace(cfg, uci=dataclasses.replace(u, o_csi2=0))
@@ -388,5 +398,6 @@ def process_with_part2_feedback(grid: jnp.ndarray, cfg: PuschConfig,
     # Host sync: the part-1 payload gates the part-2 size.
     o_csi2 = uci_part2_get_size(np.asarray(csi1_bits), part2_descr)
     cfg2 = dataclasses.replace(cfg, uci=dataclasses.replace(u, o_csi2=o_csi2))
-    res = decode_from_llrs(llr, est, cfg2, soft_buffer, nof_iterations)
+    res = decode_from_llrs(llr, est, cfg2, soft_buffer, nof_iterations,
+                           evm_val=evm_val)
     return dataclasses.replace(res, csi1_bits=csi1_bits, csi1_valid=csi1_ok)

@@ -91,13 +91,13 @@ def test_ul_slot_with_harq_retransmission():
 
     ul0 = UlTtiRequest(slot=slot, pusch=(rx_cfg(0),),
                        pusch_harq=((3, True),))
-    res0 = cond.process_ul(ul0, channel(ue_tx(0)))
+    res0 = cond.process_ul(ul0, channel(ue_tx(0))).resolve()
     first_ok = res0.crc[0].tb_crc_ok
 
     if not first_ok:
         ul2 = UlTtiRequest(slot=slot + 8, pusch=(rx_cfg(2),),
                            pusch_harq=((3, False),))
-        res2 = cond.process_ul(ul2, channel(ue_tx(2)))
+        res2 = cond.process_ul(ul2, channel(ue_tx(2))).resolve()
         assert res2.crc[0].tb_crc_ok, "HARQ retransmission failed to decode"
         np.testing.assert_array_equal(res2.rx_data[0].payload, payload)
     else:

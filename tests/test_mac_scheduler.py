@@ -190,7 +190,7 @@ def test_e2e_harq_soft_combining_recovers_tb():
             noise = (rng.normal(size=s_np.shape)
                      + 1j * rng.normal(size=s_np.shape)) * std
             samples = jnp.asarray((s_np + noise).astype(np.complex64))
-        res = cond.process_ul(ul, samples)
+        res = cond.process_ul(ul, samples).resolve()
         for c, (hid, _) in zip(res.crc, ul.pusch_harq):
             crc_results.append(bool(c.tb_crc_ok))
             sched.handle_crc(c.rnti, hid, bool(c.tb_crc_ok), c.snr_db)

@@ -80,7 +80,7 @@ def test_conductor_captures_slot_messages(tmp_path):
                      nof_symbols=12, modulation="qpsk",
                      target_code_rate=0.3, tbs=288, nof_layers=1,
                      n_id=0, dmrs_symbols=(2,))
-    cond.process_ul(UlTtiRequest(slot=slot, pusch=(pu,)), samples)
+    cond.process_ul(UlTtiRequest(slot=slot, pusch=(pu,)), samples).resolve()
     cap.close()
     _, records = pcap.read_pcap(path)
     kinds = []

@@ -34,7 +34,7 @@ def test_srs_indication_through_conductor():
 
     cond = SlotConductor(cell)
     res = cond.process_ul(UlTtiRequest(slot=SlotPoint(1, 0), srs=(cfg,)),
-                          samples)
+                          samples).resolve()
     assert len(res.srs) == 1
     ind = res.srs[0]
     assert ind.rnti == 0x22
