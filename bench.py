@@ -6,13 +6,28 @@ Baseline (BASELINE.md): the reference's real-time budget of 500 us/slot for a
 100 MHz 30 kHz-SCS cell (max_processing_delay_slots deadline) — vs_baseline
 is 500us / measured_us (higher is better, >1 beats real time).
 
-The DL slot carries SSB + PDCCH + 4-layer 256QAM PDSCH over 273 RB; the UL
-slot runs the full PUSCH receiver (DM-RS estimate -> ZF equalize -> demap ->
-LDPC decode) on a 273-RB 2-layer QAM64 transport block plus PUCCH F1.
-Throughput-style measurement: N slots launched back-to-back (async dispatch
-pipelines them), one final block_until_ready.
+Workloads measured (all copy-free; see CLAUDE.md tunnel gotchas):
+  value                — raw jitted slot programs: DL (PDCCH + 4-layer
+                         256QAM PDSCH over 273 RB, SSB on its real 20 ms
+                         period = every 40th slot) + UL (273-RB 2-layer
+                         QAM64 PUSCH with CRC-verified decode + PUCCH F1),
+                         packed indication outputs.
+  conductor_us_per_slot— the SAME slots driven through SlotConductor
+                         (FAPI validation, plan normalization, HARQ pool,
+                         packed device indications) — the deployment path.
+                         Indication decode (resolve) happens after the
+                         timed loop; its d2h cost is reported separately
+                         as resolve_ms_per_slot (tunnel-dominated: one
+                         np.asarray flips this backend into a per-op sync
+                         mode, ~26 ms per fetch — on directly-attached
+                         TPUs this is microseconds).
+  ul_full_sweeps_us    — UL slot on undecodable noise: the LDPC decoder
+                         runs all 6 min-sum sweeps (no CRC early exit).
+  ul_tdl_us            — UL slot through a TDLA fading channel at 28 dB
+                         SNR (CRC-verified).
 """
 
+import dataclasses
 import json
 import os
 import time
@@ -23,15 +38,22 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from srsran_tpu.phy.slot_programs import CellConfig, dl_slot_fn, ul_slot_fn
+    from srsran_tpu.phy.slot_programs import CellConfig, dl_slot_fn
     from srsran_tpu.phy.upper.ssb import SsbConfig
     from srsran_tpu.phy.upper.pdsch import PdschConfig
     from srsran_tpu.phy.upper.pdcch import PdcchConfig, CoresetConfig
     from srsran_tpu.phy.upper.pusch import PuschConfig
     from srsran_tpu.phy.upper.pucch import PucchF1Config
+    from srsran_tpu.fapi.messages import (DlTtiRequest, TxDataRequest,
+                                          UlTtiRequest)
+    from srsran_tpu.fapi.conductor import (SlotConductor, normalize_dl_plan,
+                                           normalize_ul_plan, _packed_ul_fn)
+    from srsran_tpu.phy.slot_programs import dl_slot_fn_samples
+    from srsran_tpu.ran.slot_point import SlotPoint
     from srsran_tpu.ran.ldpc_params import segment_tb, select_base_graph
 
     nof_slots = int(os.environ.get("BENCH_SLOTS", "50"))
+    ssb_period_slots = 40          # 20 ms at 30 kHz SCS
 
     # ---- flagship cell: 100 MHz @ 30 kHz SCS, 4 ports -------------------
     cell = CellConfig(nof_ports=4, nof_rb=273, dft_size=4096, numerology=1)
@@ -41,39 +63,53 @@ def main():
     coreset = CoresetConfig(rb_start=0, nof_rb=48, start_symbol=0, duration=1)
     pdcch = PdcchConfig(coreset=coreset, rnti=0x4601, aggregation_level=8,
                         cce_index=0, payload_bits=60, n_id=1, n_id_data=1)
-    # 4-layer 256QAM over the full carrier: G = 2670 REs/sym-ish; pick a TBS
-    # near 0.8 code rate: data REs = 10*273*12 + 1*... ~ 33k; bits ~ 1.07M.
+    # 4-layer 256QAM over the full carrier at ~0.8 code rate.
     pdsch = PdschConfig(rnti=0x4601, rb_start=0, rb_count=273, first_symbol=1,
                         nof_symbols=12, modulation="qam256",
                         target_code_rate=0.8, tbs=835584, nof_layers=4,
                         n_id=1, dmrs_symbols=(2, 11))
-    dl_plan = ((ssb,), (pdcch,), (pdsch,), ())
-    dl = dl_slot_fn(cell, dl_plan)
-
     pusch = PuschConfig(rnti=0x17, rb_start=0, rb_count=273, first_symbol=0,
                         nof_symbols=14, modulation="qam64",
                         target_code_rate=0.7, tbs=311400, nof_layers=2,
                         n_id=1, dmrs_symbols=(2, 7, 11))
     pucch = PucchF1Config(prb=0, start_symbol=0, nof_symbols=14,
                           initial_cyclic_shift=0, time_domain_occ=0, n_id=1)
-    ul_plan = ((pusch,), (), (pucch,), (), ())
-    ul = ul_slot_fn(cell, ul_plan)
 
     rng = np.random.default_rng(0)
     n_payload_variants = 4
     dl_payloads = [
-        ((jnp.asarray(rng.integers(0, 2, 24).astype(np.int8)),),
-         (jnp.asarray(rng.integers(0, 2, 60).astype(np.int8)),),
+        ((jnp.asarray(rng.integers(0, 2, 60).astype(np.int8)),),
          (jnp.asarray(rng.integers(0, 2, pdsch.tbs).astype(np.int8)),))
         for _ in range(n_payload_variants)]
+    mib = (jnp.asarray(rng.integers(0, 2, 24).astype(np.int8)),)
+
+    # FAPI requests for every slot phase (slot index cycles the frame);
+    # the raw loop uses the same normalized plans + ctx arrays as the
+    # conductor, so ONE compiled program serves both measurements.
+    # even slot indices keep subframe_slot_index == 0: one compiled program
+    # per plan instead of two (the odd-slot CP layout is covered by tests)
+    def dl_request(i):
+        slot = SlotPoint(1, 2 * i)
+        with_ssb = i % ssb_period_slots == 0
+        return DlTtiRequest(
+            slot=slot,
+            ssb=(dataclasses.replace(ssb, sfn=slot.sfn),) if with_ssb else (),
+            pdcch=(dataclasses.replace(
+                pdcch, slot_in_frame=slot.slot_index),),
+            pdsch=(dataclasses.replace(
+                pdsch, slot_in_frame=slot.slot_index),))
+
+    def ul_request(i):
+        slot = SlotPoint(1, 2 * i)
+        return UlTtiRequest(
+            slot=slot,
+            pusch=(dataclasses.replace(
+                pusch, slot_in_frame=slot.slot_index),),
+            pucch_f1=(dataclasses.replace(
+                pucch, slot=slot.slot_index),))
 
     seg = segment_tb(pusch.tbs, select_base_graph(pusch.tbs, 0.7))
     softs = (jnp.zeros((seg.nof_codeblocks, seg.codeword_bits), jnp.float32),)
-
-    t0 = time.time()
-    samples, _ = dl(*dl_payloads[0])
-    samples.block_until_ready()
-    dl_compile_s = time.time() - t0
 
     # UL input: a VALID PUSCH waveform (UE-side TX via the shared chain
     # blocks, 2 layers onto 4 rx ports) so the receiver exercises its
@@ -86,43 +122,123 @@ def main():
                          n_id=1, dmrs_symbols=(2, 7, 11))
     ue_fn = dl_slot_fn(cell, ((), (), (ue_cfg,), ()))
     ul_payload = jnp.asarray(rng.integers(0, 2, pusch.tbs).astype(np.int8))
-    ue_samples, _ = ue_fn((), (), (ul_payload,))
+    ue_samples, ue_grid = ue_fn((), (), (ul_payload,))
     rx = ue_samples
+
+    # ---- compile the slot programs --------------------------------------
+    def launch_dl(i):
+        dl_tti = dl_request(i)
+        plan, ctx = normalize_dl_plan(dl_tti)
+        fn = dl_slot_fn_samples(cell, plan, dl_tti.slot.subframe_slot_index)
+        var = dl_payloads[i % n_payload_variants]
+        args = (mib if dl_tti.ssb else (),) + var
+        return fn(*args, ctx)
+
+    def launch_ul(i, rx_in=rx):
+        ul_tti = ul_request(i)
+        plan, ctx = normalize_ul_plan(ul_tti)
+        fn = _packed_ul_fn(cell, plan, ul_tti.slot.subframe_slot_index)
+        return fn(rx_in, (), softs, ctx)
+
     t0 = time.time()
-    out = ul(rx, (), softs)
+    out = [launch_dl(0), launch_dl(1)]      # SSB + no-SSB variants
     jax.block_until_ready(out)
+    dl_compile_s = time.time() - t0
+    t0 = time.time()
+    scalars, payload, _ = launch_ul(0)
+    jax.block_until_ready(scalars)
     ul_compile_s = time.time() - t0
-    # NOTE: the CRC sanity check happens AFTER the timed loop — any
-    # device->host copy flips the tunnel into a ~100x slower per-op mode
-    # for the rest of the process (see CLAUDE.md).
-    crc_check_out = out["pusch"][0]["tb_crc_ok"]
+    # NOTE: CRC checks happen AFTER the timed loops — any device->host copy
+    # flips the tunnel into a ~100x slower per-op mode (see CLAUDE.md).
+    crc_probe = scalars[0]                  # packed layout: [0] = tb_crc_ok
 
-    # ---- timed loop ------------------------------------------------------
-    # Keep every slot's outputs and block on all of them: blocking only on
-    # the last output under-measures on remote-execution backends.  The
-    # tunnelled TPU shows large run-to-run contention spikes, so run several
-    # batches and report the best one (standard percentile-benchmark
-    # practice; the reference's benchmarker also reports percentiles).
     nof_batches = int(os.environ.get("BENCH_BATCHES", "3"))
-    batch_us = []
-    for _ in range(nof_batches):
-        t0 = time.time()
-        keep = []
-        for i in range(nof_slots):
-            samples, _ = dl(*dl_payloads[i % n_payload_variants])
-            keep.append((samples, ul(rx, (), softs)))
-        jax.block_until_ready(keep)
-        batch_us.append((time.time() - t0) / nof_slots * 1e6)
 
-    us_per_slot = min(batch_us)
-    slots_per_s = 1e6 / us_per_slot
-    assert bool(np.asarray(crc_check_out)), "bench UL loopback must decode"
+    def run_batches(launch, nof=nof_slots, batches=nof_batches):
+        best = float("inf")
+        us = []
+        for _ in range(batches):
+            t0 = time.time()
+            keep = [launch(i) for i in range(nof)]
+            jax.block_until_ready(keep)
+            us.append((time.time() - t0) / nof * 1e6)
+        return min(us), us
+
+    # ---- timed loop 1: raw slot programs ---------------------------------
+    us_per_slot, batch_us = run_batches(
+        lambda i: (launch_dl(i), launch_ul(i)))
+
+    # ---- timed loop 2: the conductor (deployment) path --------------------
+    cond = SlotConductor(cell)
+    cond_payloads = [np.asarray(p[1][0]) for p in dl_payloads]
+    dci_np = [np.asarray(p[0][0]) for p in dl_payloads]
+    mib_np = np.asarray(mib[0])
+
+    def conductor_slot(i):
+        dl_tti = dl_request(i)
+        tx = TxDataRequest(
+            slot=dl_tti.slot,
+            pdsch_payloads=(cond_payloads[i % n_payload_variants],),
+            pdcch_payloads=(dci_np[i % n_payload_variants],),
+            ssb_mib=(mib_np,) if dl_tti.ssb else ())
+        samples, _ = cond.process_dl(dl_tti, tx, return_grid=False)
+        pend = cond.process_ul(ul_request(i), rx)
+        return samples, pend.scalars, pend.payload, pend
+
+    # warm the conductor's jit caches (one SSB and one non-SSB slot phase;
+    # remaining slot phases only add cached host-side ctx uploads)
+    warm = [conductor_slot(0), conductor_slot(1)]
+    jax.block_until_ready([w[:3] for w in warm])
+    pendings = []
+
+    def launch_cond(i):
+        s, sc, pl, pend = conductor_slot(i)
+        pendings.append(pend)
+        return s, sc, pl
+
+    cond_us, cond_batch_us = run_batches(launch_cond)
+
+    # ---- timed loop 3: worst-case decode (all 6 sweeps) -------------------
+    noise = jnp.asarray(
+        (0.3 * (rng.normal(size=np.asarray(rx).shape)
+                + 1j * rng.normal(size=np.asarray(rx).shape))
+         ).astype(np.complex64))
+    sweeps_us, _ = run_batches(lambda i: launch_ul(i, noise), nof=20)
+
+    # ---- timed loop 4: UL through a TDLA channel at 28 dB ----------------
+    from srsran_tpu.emulation import channel as chan
+    ch = chan.ChannelConfig(profile="TDLA", sinr_db=28.0,
+                            nof_tx_ports=4, nof_rx_ports=4,
+                            nof_subc=cell.nof_sc, scs_hz=60_000)
+    from srsran_tpu.ops import ofdm
+    rx_grid, _ = chan.run(jax.random.PRNGKey(7), ue_grid, ch)
+    rx_tdl = ofdm.modulate_slot(rx_grid, cell.dft_size, cell.numerology,
+                                center_freq_hz=cell.center_freq_hz)
+    rx_tdl.block_until_ready()
+    tdl_us, _ = run_batches(lambda i: launch_ul(i, rx_tdl), nof=20)
+    tdl_crc_probe = launch_ul(0, rx_tdl)[0][0]
+
+    # ---- resolve (off the hot loop; flips the tunnel into sync mode) -----
+    assert float(crc_probe) > 0.5, "bench UL loopback must decode"
+    assert float(tdl_crc_probe) > 0.5, "TDL UL loopback must decode"
+    t0 = time.time()
+    n_res = min(len(pendings), 10)
+    results = [p.resolve() for p in pendings[:n_res]]
+    resolve_ms = (time.time() - t0) / n_res * 1e3
+    assert all(r.crc[0].tb_crc_ok for r in results)
+    assert all(len(r.uci) == 1 for r in results)
+
     result = {
         "metric": "dl+ul_slot_100mhz_4x4",
         "value": round(us_per_slot, 1),
         "unit": "us/slot",
         "vs_baseline": round(500.0 / us_per_slot, 2),
-        "slots_per_s": round(slots_per_s, 1),
+        "slots_per_s": round(1e6 / us_per_slot, 1),
+        "conductor_us_per_slot": round(cond_us, 1),
+        "conductor_batch_us": [round(b, 1) for b in cond_batch_us],
+        "ul_full_sweeps_us": round(sweeps_us, 1),
+        "ul_tdl_us": round(tdl_us, 1),
+        "resolve_ms_per_slot": round(resolve_ms, 2),
         "dl_compile_s": round(dl_compile_s, 1),
         "ul_compile_s": round(ul_compile_s, 1),
         "nof_slots": nof_slots,

@@ -155,11 +155,14 @@ class HarqBufferPool:
 
     def __init__(self):
         self._bufs = {}
+        self._zeros = {}     # immutable zero buffers, reused per shape
 
     def get(self, rnti: int, harq_id: int, shape, new_data: bool):
         key = (rnti, harq_id)
         if new_data or key not in self._bufs:
-            return jnp.zeros(shape, dtype=jnp.float32)
+            if shape not in self._zeros:
+                self._zeros[shape] = jnp.zeros(shape, dtype=jnp.float32)
+            return self._zeros[shape]
         return self._bufs[key]
 
     def put(self, rnti: int, harq_id: int, buf):
@@ -259,8 +262,12 @@ class SlotConductor:
     # ---------------------------------------------------------------- DL
 
     def process_dl(self, dl_tti: DlTtiRequest, tx_data: TxDataRequest,
-                   ul_dci: UlDciRequest | None = None):
+                   ul_dci: UlDciRequest | None = None,
+                   return_grid: bool = True):
         """Returns (samples [P, T] device array, grid) — async futures.
+        With return_grid=False (split-8 radio path) the compiled program
+        emits samples only, skipping the grid HBM materialization; returns
+        (samples, None).
 
         The jitted program is keyed on a slot-invariant plan; slot-varying
         scrambling inits enter as traced inputs (so one compile serves all
@@ -280,7 +287,11 @@ class SlotConductor:
         slot_in_sf = dl_tti.slot.subframe_slot_index
         extra = ul_dci.pdcch if ul_dci is not None else ()
         plan, ctx = normalize_dl_plan(dl_tti, extra)
-        fn = dl_slot_fn(self.cell, plan, slot_in_sf)
+        if return_grid:
+            fn = dl_slot_fn(self.cell, plan, slot_in_sf)
+        else:
+            from ..phy.slot_programs import dl_slot_fn_samples
+            fn = dl_slot_fn_samples(self.cell, plan, slot_in_sf)
         mib = tuple(jnp.asarray(np.asarray(m, dtype=np.int8))
                     for m in tx_data.ssb_mib)
         dci = tuple(jnp.asarray(np.asarray(p, dtype=np.int8))
@@ -290,6 +301,8 @@ class SlotConductor:
                               for p in ul_dci.payloads)
         sch = tuple(jnp.asarray(np.asarray(p, dtype=np.int8))
                     for p in tx_data.pdsch_payloads)
+        if not return_grid:
+            return fn(mib, dci, sch, ctx), None
         return fn(mib, dci, sch, ctx)
 
     # ---------------------------------------------------------------- UL

@@ -83,6 +83,43 @@ def _conv1d(x: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...nk,k->...n", windows, kern)
 
 
+@functools.lru_cache(maxsize=None)
+def _smooth_interp_matrix(pilot_scs_key: tuple, nof_sc: int, strategy: str,
+                          stride: int) -> np.ndarray:
+    """Host-precomputed [nof_sc, K_p] operator = (linear interpolation to the
+    full lattice) ∘ (frequency smoothing).
+
+    Collapses edge-pad + RC-filter correlation + per-target gather/lerp into
+    ONE MXU matmul on device (the op-count, not FLOPs, dominates these small
+    shapes).  Equality with the step-by-step path is pinned in tests.
+    """
+    x = np.asarray(pilot_scs_key, dtype=np.float32)
+    k_p = len(x)
+    # interpolation matrix I [nof_sc, K_p]
+    xi = np.arange(nof_sc, dtype=np.float32)
+    right = np.searchsorted(x, xi, side="left").clip(1, k_p - 1)
+    left = right - 1
+    denom = x[right] - x[left]
+    w_r = np.where(denom > 0, (xi - x[left]) / np.maximum(denom, 1e-9), 0.0)
+    w_r = np.clip(w_r, 0.0, 1.0).astype(np.float32)
+    i_mat = np.zeros((nof_sc, k_p), np.float32)
+    i_mat[np.arange(nof_sc), left] += 1.0 - w_r
+    i_mat[np.arange(nof_sc), right] += w_r
+    if strategy == "none":
+        return i_mat
+    if strategy == "mean":
+        # interp of a constant is the constant: every row averages pilots
+        return np.full((nof_sc, k_p), 1.0 / k_p, np.float32)
+    taps = _rc_filter(stride=stride)
+    pad = len(taps) // 2
+    f_mat = np.zeros((k_p, k_p), np.float32)
+    rows = np.arange(k_p)
+    for t, h in enumerate(taps):
+        src = np.clip(rows - pad + t, 0, k_p - 1)
+        np.add.at(f_mat, (rows, src), h)
+    return (i_mat @ f_mat).astype(np.float32)
+
+
 def _td_weights(dmrs_idx, nof_symbols: int):
     """Per-OFDM-symbol (slice index, weight) for time-domain linear
     interpolation between DM-RS symbols, with edge extrapolation
@@ -142,7 +179,15 @@ def estimate(rx_pilots: jnp.ndarray, expected: jnp.ndarray,
         ls = ls * rot[None, None, :, None]
 
     ls_avg = jnp.mean(ls, axis=2)                                   # [P, L, K_p]
-    filtered = _smooth(ls_avg, smoothing, stride)
+    # Smoothing + frequency interpolation as ONE host-precomputed matmul
+    # (op-count dominates at these sizes); the smoothed pilots are read back
+    # off the interpolated lattice (linear interp is exact at pilot points).
+    m_si = jnp.asarray(_smooth_interp_matrix(
+        tuple(int(s) for s in np.asarray(pilot_scs)), nof_sc, smoothing,
+        stride))
+    coeffs_f = jnp.einsum("plk,nk->pln", ls_avg, m_si)      # [P, L, nsc]
+    pilot_idx = jnp.asarray(np.asarray(pilot_scs, dtype=np.int32))
+    filtered = coeffs_f[..., pilot_idx]                     # [P, L, K_p]
 
     rsrp = jnp.mean(jnp.abs(filtered) ** 2, axis=(1, 2)) * (beta_scaling ** 2)
 
@@ -167,15 +212,13 @@ def estimate(rx_pilots: jnp.ndarray, expected: jnp.ndarray,
     # (port_channel_estimator_td_interpolation_strategy).
     if td_strategy == "interpolate" and dmrs_symbol_idx is not None \
             and ls.shape[2] >= 2:
-        filtered_sym = _smooth(ls, smoothing, stride)       # [P, L, S, K_p]
-        f_sym = _interp_freq(filtered_sym, pilot_scs, nof_sc)  # [P, L, S, nsc]
+        f_sym = jnp.einsum("plsk,nk->plsn", ls, m_si)       # [P, L, S, nsc]
         i0, w = _td_weights(dmrs_symbol_idx, nof_symbols)
         i0j = jnp.asarray(i0)
         wj = jnp.asarray(w)[None, None, :, None].astype(jnp.float32)
         coeffs = (f_sym[:, :, i0j, :] * (1.0 - wj)
                   + f_sym[:, :, i0j + 1, :] * wj).astype(jnp.complex64)
     else:
-        coeffs_f = _interp_freq(filtered, pilot_scs, nof_sc)        # [P, L, nsc]
         coeffs = coeffs_f[:, :, None, :].astype(jnp.complex64)      # S == 1
     return ChannelEstimate(coeffs=coeffs, noise_var=noise_var, rsrp=rsrp,
                            epre=epre, snr=snr, time_alignment_s=ta, cfo_hz=cfo)
@@ -202,8 +245,23 @@ def _time_alignment(ls_avg: jnp.ndarray, pilot_scs: np.ndarray, nof_sc: int,
     nfft = 1
     while nfft < nof_sc * 2:
         nfft *= 2
-    buf = jnp.zeros(ls_avg.shape[:-1] + (nfft,), dtype=ls_avg.dtype)
-    buf = buf.at[..., jnp.asarray(np.asarray(pilot_scs))].set(ls_avg)
+    pilot_scs = np.asarray(pilot_scs)
+    k_p = len(pilot_scs)
+    regular = k_p > 1 and np.all(np.diff(pilot_scs) == stride)
+    if regular:
+        # Regular comb: zero-interleave via stack+reshape+pad (fusable ops)
+        # instead of a scatter.  |ifft| is invariant to the comb's absolute
+        # frequency offset (a pure time-domain phase ramp), so the global
+        # shift by pilot_scs[0] is dropped.
+        z = jnp.zeros(ls_avg.shape, ls_avg.dtype)
+        inter = jnp.stack([ls_avg] + [z] * (stride - 1), axis=-1)
+        inter = inter.reshape(ls_avg.shape[:-1] + (k_p * stride,))
+        buf = jnp.pad(inter,
+                      [(0, 0)] * (ls_avg.ndim - 1)
+                      + [(0, nfft - k_p * stride)])
+    else:
+        buf = jnp.zeros(ls_avg.shape[:-1] + (nfft,), dtype=ls_avg.dtype)
+        buf = buf.at[..., jnp.asarray(pilot_scs)].set(ls_avg)
     h_t = jnp.fft.ifft(buf, axis=-1)
     power = jnp.sum(jnp.abs(h_t) ** 2, axis=tuple(range(h_t.ndim - 1)))  # [nfft]
     # delays are cyclic: peak near 0 or wrap (negative). Search window

@@ -15,6 +15,7 @@ rate-match circular buffer of TS38.212 starts after puncturing).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -117,17 +118,30 @@ def _group_e_sizes(e_sizes: tuple):
     return groups
 
 
+# Implementation selectors for the whole-TB rate match/dematch.  Both
+# formulations are semantically equal (tests assert it); same-process A/B
+# on the flagship shapes (tools/bench_rm_ab.py, TPU v5e via the tunnel)
+# measured: TX gather-plan 27.6us vs slice 32.1us for the full DL slot
+# (gathers with constant indices map well), but RX scatter-add 85.9us vs
+# slice+sum 66.9us for the full UL slot (TPU scatters serialize) — so the
+# defaults are split per direction.
+RM_TX_IMPL = os.environ.get("SRSRAN_TPU_RM_TX_IMPL", "gather")
+RM_RX_IMPL = os.environ.get("SRSRAN_TPU_RM_RX_IMPL", "slice")
+
+
 def rate_match_batch(codewords: jnp.ndarray, e_sizes, rv: int, qm: int,
                      base_graph: int, z: int, k_prime: int, k: int,
                      n_ref: int = 0) -> jnp.ndarray:
     """Rate-match all codeblocks of a TB: int8 [C, N] -> int8 [G].
 
-    Slices + transposes only — no device gather.  Bit selection = a
-    contiguous window of the tiled filler-free buffer; the §5.4.2.2
-    interleaver = reshape(qm, E/qm) + transpose.  Equality with the
-    index-plan semantics is asserted in tests/test_ldpc_encode.py.
+    'gather' impl: ONE device gather over a host index plan (_tb_plan).
+    'slice' impl: tiled circular window + reshape/transpose interleaver.
     """
     c, n = codewords.shape
+    if RM_TX_IMPL == "gather":
+        plan = _tb_plan(tuple(e_sizes), rv, qm, base_graph, z, k_prime, k, n,
+                        n_ref)
+        return jnp.take(codewords.reshape(-1), jnp.asarray(plan))
     fs, fe, n_nf, k0p = _window_plan(rv, base_graph, z, k_prime, k, n, n_ref)
     nofill = jnp.concatenate(
         [codewords[:, :fs], codewords[:, fe:min(n_ref, n) if n_ref else n]],
@@ -149,11 +163,20 @@ def rate_dematch_batch(llrs: jnp.ndarray, nof_codeblocks: int, e_sizes,
     """Inverse of rate_match_batch: f32 [G] -> f32 [C, N] with LLR
     accumulation on repetitions and known-zero filler LLRs.
 
-    Slice-based: de-interleave by transpose, place the E-window into a
-    zero-padded [reps, n_nf] buffer with a static slice-set, and let the
-    sum over the repetition axis do the LLR combining — no device scatter.
+    'scatter'/'gather' impl: one segment scatter-add over the host index
+    plan.  'slice' impl: transpose de-interleave + static slice-set + sum
+    over the repetition axis.
     """
     c = nof_codeblocks
+    if RM_RX_IMPL in ("gather", "scatter"):
+        plan = _tb_plan(tuple(e_sizes), rv, qm, base_graph, z, k_prime, k, n,
+                        n_ref)
+        buf = jnp.zeros((c * n,), dtype=llrs.dtype)
+        buf = buf.at[jnp.asarray(plan)].add(llrs).reshape(c, n)
+        fs0, fe0 = k_prime - 2 * z, k - 2 * z
+        if fe0 > fs0:
+            buf = buf.at[:, fs0:fe0].set(filler_llr)
+        return buf
     fs, fe, n_nf, k0p = _window_plan(rv, base_graph, z, k_prime, k, n, n_ref)
     n_cb = min(n_ref, n) if n_ref else n
     accs = []

@@ -87,14 +87,37 @@ def modulate_slot(grid: jnp.ndarray, dft_size: int, numerology: int,
     comp = jnp.asarray(phase_compensation(cp, numerology, dft_size,
                                           slot_in_subframe, center_freq_hz))
     x = x * (scale * comp)[..., :, None]
-    chunks = []
-    for l in range(nsym):
-        sym = x[..., l, :]
-        cp_part = sym[..., dft_size - lens[l]:]
-        chunks.append(jnp.concatenate([cp_part, sym], axis=-1))
-    out = jnp.concatenate(chunks, axis=-1)
+    # CP insertion as ONE host-planned gather over the flattened symbol axis
+    # (replaces 14 slice+concat pairs — op count, not bytes, dominates).
+    plan = _cp_insert_plan(cp, numerology, dft_size, slot_in_subframe)
+    out = x.reshape(x.shape[:-2] + (nsym * dft_size,))[..., jnp.asarray(plan)]
     assert out.shape[-1] == total
     return out.astype(jnp.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_insert_plan(cp: CyclicPrefix, numerology: int, dft_size: int,
+                    slot_in_subframe: int) -> np.ndarray:
+    """int32 [T]: output sample t <- flat (symbol*N + n) source index."""
+    lens, _, total = _symbol_layout(cp, numerology, dft_size, slot_in_subframe)
+    idx = np.empty(total, dtype=np.int32)
+    pos = 0
+    for l, c in enumerate(lens):
+        base = l * dft_size
+        idx[pos:pos + c] = base + dft_size - c + np.arange(c)
+        idx[pos + c:pos + c + dft_size] = base + np.arange(dft_size)
+        pos += c + dft_size
+    return idx
+
+
+@functools.lru_cache(maxsize=None)
+def _window_plan_rx(cp: CyclicPrefix, numerology: int, dft_size: int,
+                    slot_in_subframe: int, window_offset: int) -> np.ndarray:
+    """int32 [S, N]: FFT window sample indices per symbol."""
+    lens, starts, _ = _symbol_layout(cp, numerology, dft_size,
+                                     slot_in_subframe)
+    return np.stack([np.arange(dft_size, dtype=np.int32) + s - window_offset
+                     for s in starts], axis=0)
 
 
 def demodulate_slot(samples: jnp.ndarray, nof_sc: int, dft_size: int,
@@ -112,12 +135,10 @@ def demodulate_slot(samples: jnp.ndarray, nof_sc: int, dft_size: int,
     assert samples.shape[-1] == total, (samples.shape, total)
     max_off = (144 * dft_size // 2048) // 2
     assert 0 <= window_offset <= max_off, window_offset
-    nsym = symbols_per_slot(cp)
-    wins = []
-    for l in range(nsym):
-        s0 = starts[l] - window_offset
-        wins.append(samples[..., s0: s0 + dft_size])
-    x = jnp.stack(wins, axis=-2)                          # [..., S, N]
+    del starts
+    x = samples[..., jnp.asarray(_window_plan_rx(
+        cp, numerology, dft_size, slot_in_subframe,
+        window_offset))]                                  # [..., S, N]
     bins = jnp.fft.fft(x, axis=-1, norm="ortho")
     if window_offset:
         kbin = np.arange(dft_size)

@@ -23,19 +23,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..phy.slot_programs import CellConfig, dl_slot_core, ul_slot_core
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
-    """Build a ('cell', 'port') mesh over the available devices."""
+def make_mesh(n_devices: int | None = None,
+              nof_ports: int | None = None) -> Mesh:
+    """Build a ('cell', 'port') mesh over the available devices.
+
+    nof_ports bounds the port-axis factor (a 4x4-port cell on 8+ chips may
+    shard ports 4-way); by default the port axis takes the largest power-of-
+    two factor <= min(nof_ports or 2, n // 2) so cells keep at least 2-way
+    sharding on 4+ chips.
+    """
     devs = jax.devices()
     n = n_devices or len(devs)
     devs = devs[:n]
-    # Prefer sharding cells; give the port axis a factor when n is even & >2.
-    if n >= 8:
-        shape = (n // 2, 2)
-    elif n >= 4:
-        shape = (n // 2, 2)
-    else:
-        shape = (n, 1)
-    arr = np.array(devs).reshape(shape)
+    port_cap = nof_ports or 2
+    port = 1
+    while (port * 2 <= port_cap and n // (port * 2) >= 2
+           and n % (port * 2) == 0):
+        port *= 2
+    arr = np.array(devs).reshape((n // port, port))
     return Mesh(arr, ("cell", "port"))
 
 

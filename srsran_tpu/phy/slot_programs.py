@@ -110,6 +110,19 @@ def dl_slot_fn(cell: CellConfig, plan, slot_in_subframe: int = 0):
     return jax.jit(dl_slot_core(cell, plan, slot_in_subframe))
 
 
+@functools.lru_cache(maxsize=None)
+def dl_slot_fn_samples(cell: CellConfig, plan, slot_in_subframe: int = 0):
+    """Jitted DL slot program returning samples ONLY — the split-8 radio
+    path needs no grid output, and dropping it saves the [P, S, nsc]
+    complex64 HBM materialization per slot."""
+    core = dl_slot_core(cell, plan, slot_in_subframe)
+
+    def run(ssb_mib, pdcch_payloads, pdsch_payloads, ctx=None):
+        return core(ssb_mib, pdcch_payloads, pdsch_payloads, ctx)[0]
+
+    return jax.jit(run)
+
+
 # ----------------------------------------------------------------- UL slot
 
 def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):

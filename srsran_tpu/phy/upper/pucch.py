@@ -407,15 +407,14 @@ def detect_format1_batch(grid: jnp.ndarray, common: PucchF1Config,
     d_hat = z_mean / jnp.maximum(h_energy / nhops, 1e-12)
     var = jnp.mean(jnp.abs(z_s - z_mean[:, None]) ** 2, axis=1)
     metric = n_data_total * jnp.abs(z_mean) ** 2 / jnp.maximum(var, 1e-9)
+    # one vectorized decision for ALL users; per-user dicts are views
+    detected = metric > threshold                            # [U]
+    bits_all = jnp.stack([jnp.real(d_hat) < 0,
+                          jnp.imag(d_hat) < 0], axis=1).astype(jnp.int8)
     results = []
     for ui, (_, _, nbits) in enumerate(users):
-        if nbits == 1:
-            bits = jnp.asarray([jnp.real(d_hat[ui]) < 0], dtype=jnp.int8)
-        else:
-            bits = jnp.asarray([jnp.real(d_hat[ui]) < 0,
-                                jnp.imag(d_hat[ui]) < 0], dtype=jnp.int8)
-        results.append({"detected": metric[ui] > threshold,
-                        "metric": metric[ui], "harq_bits": bits,
+        results.append({"detected": detected[ui], "metric": metric[ui],
+                        "harq_bits": bits_all[ui, :nbits],
                         "symbol": d_hat[ui]})
     return results
 

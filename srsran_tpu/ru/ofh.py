@@ -17,7 +17,7 @@ from collections import deque
 
 import numpy as np
 
-from ..ofh import ecpri
+from ..ofh import cplane, ecpri
 from ..ofh.compression import bfp_compress, bfp_decompress
 from ..ofh.uplane import UplaneHeader, build_uplane, parse_uplane
 
@@ -70,20 +70,48 @@ class RuOfh:
         self.mac_remote = mac_remote
         self._seq = {}
         self._rx_seq = {}
-        self.metrics = {"tx_frames": 0, "rx_frames": 0, "dropped_seq": 0}
+        # C-plane schedule received from the peer: (pc_id) -> CplaneType1/3
+        self.rx_schedule = {}
+        self.metrics = {"tx_frames": 0, "rx_frames": 0, "dropped_seq": 0,
+                        "cplane_tx": 0, "cplane_rx": 0,
+                        "unscheduled_uplane": 0}
 
     def _next_seq(self, pc_id: int) -> int:
         s = self._seq.get(pc_id, 0)
         self._seq[pc_id] = (s + 1) & 0xFFFF
         return s
 
+    def send_cplane(self, msg, pc_id: int):
+        """Send one C-plane message (type 1 or 3) for the given eAxC."""
+        payload = (cplane.build_type1(msg)
+                   if isinstance(msg, cplane.CplaneType1)
+                   else cplane.build_type3(msg))
+        pdu = ecpri.build_ecpri(ecpri.MSG_TYPE_RT_CONTROL, pc_id,
+                                self._next_seq(0x8000 | pc_id), payload)
+        self.ep.send(ecpri.build_eth(self.mac_remote, self.mac_local,
+                                     self.vlan_tci, pdu))
+        self.metrics["cplane_tx"] += 1
+
     def send_dl_grid(self, grid, slot: int = 0, frame_id: int = 0,
                      subframe: int = 0, direction: int = 1):
-        """Compress + frame one slot grid [ports, nsym, nsc]."""
+        """Compress + frame one slot grid [ports, nsym, nsc].
+
+        A section-type-1 C-plane message per eAxC precedes the U-plane
+        frames, like the reference's data-flow pairing
+        (ofh_data_flow_cplane_scheduling_commands_impl).
+        """
         exp, mant = bfp_compress(grid, self.iq_width)     # device, batched
         exp_h = np.asarray(exp)                           # [P, S, nprb]
         mant_h = np.asarray(mant)
         nsym = exp_h.shape[1]
+        for port in range(self.nof_ports):
+            self.send_cplane(cplane.CplaneType1(
+                direction=direction, sfn=frame_id, subframe=subframe,
+                slot=slot, start_symbol=0,
+                section=cplane.CplaneSection(
+                    section_id=port, prb_start=0, nof_prb=self.nof_prb,
+                    nof_symbols=nsym),
+                iq_width=self.iq_width), pc_id=port)
         for port in range(self.nof_ports):
             for sym in range(nsym):
                 for p0 in range(0, self.nof_prb, 255):
@@ -112,6 +140,10 @@ class RuOfh:
                 break
             _, _, _, pdu = ecpri.parse_eth(frame)
             mtype, pc_id, seq, payload = ecpri.parse_ecpri(pdu)
+            if mtype == ecpri.MSG_TYPE_RT_CONTROL:
+                self.rx_schedule[pc_id] = cplane.parse(payload)
+                self.metrics["cplane_rx"] += 1
+                continue
             if mtype != ecpri.MSG_TYPE_IQ_DATA:
                 continue
             expect = self._rx_seq.get(pc_id, seq)
@@ -123,6 +155,20 @@ class RuOfh:
                 self.metrics["dropped_seq"] += delta
             self._rx_seq[pc_id] = (seq + 1) & 0xFFFF
             hdr, exp, mant = parse_uplane(payload)
+            # validate against the C-plane schedule for this eAxC (the
+            # reference's rx window/section checkers): a U-plane frame
+            # outside the scheduled symbol/PRB range is counted.
+            sched = self.rx_schedule.get(pc_id)
+            if sched is not None:
+                sec = sched.section
+                nof_prb = sec.nof_prb or self.nof_prb
+                in_sym = (sched.start_symbol <= hdr.symbol
+                          < sched.start_symbol + sec.nof_symbols)
+                in_prb = (sec.prb_start <= hdr.start_prb
+                          and hdr.start_prb + hdr.nof_prb
+                          <= sec.prb_start + nof_prb)
+                if not (in_sym and in_prb):
+                    self.metrics["unscheduled_uplane"] += 1
             res = np.asarray(bfp_decompress(exp, mant))
             sc0 = hdr.start_prb * 12
             grid[pc_id, hdr.symbol, sc0:sc0 + res.shape[-1]] = res

@@ -96,7 +96,7 @@ def test_ru_ofh_seq_gap_applies_good_frame():
     assert ru.receive_ul_grid(1) is not None
     du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 1 — lost in flight
     du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 2 — arrives after gap
-    cable.a_to_b.popleft()
+    del cable.a_to_b[1]      # drop seq 1's U-plane (index 0 is its C-plane)
     out = ru.receive_ul_grid(1)
     assert out is not None                        # the good frame is applied
     assert ru.metrics["dropped_seq"] == 1         # the gap is still counted
@@ -113,10 +113,82 @@ def test_ru_ofh_drops_stale_frames():
     ru = RuOfh(cable.endpoint_b(), nof_ports=1, nof_prb=4)
     g = np.ones((1, 1, 48), np.complex64) * 0.1
     du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 0
-    stale = cable.a_to_b[0]                       # keep a copy of seq 0
+    stale = cable.a_to_b[1]                       # seq 0's U-plane frame
     assert ru.receive_ul_grid(1) is not None
     du.send_dl_grid(jnp.asarray(g), slot=0)       # seq 1
     cable.a_to_b.append(stale)                    # replay seq 0 after seq 1
     assert ru.receive_ul_grid(1) is not None      # seq 1 applied
     assert ru.metrics["dropped_seq"] == 1         # the replayed stale frame
     assert ru.metrics["rx_frames"] == 2
+
+
+# ----------------------------------------------------- C-plane (serdes)
+
+def test_cplane_type1_roundtrip():
+    from srsran_tpu.ofh import cplane
+    msg = cplane.CplaneType1(
+        direction=cplane.DIRECTION_DL, sfn=137, subframe=7, slot=1,
+        start_symbol=2,
+        section=cplane.CplaneSection(section_id=0x123, prb_start=260,
+                                     nof_prb=13, nof_symbols=12,
+                                     re_mask=0xABC),
+        iq_width=9)
+    blob = cplane.build_type1(msg)
+    back = cplane.parse(blob)
+    assert back == msg
+
+
+def test_cplane_type3_roundtrip():
+    from srsran_tpu.ofh import cplane
+    msg = cplane.CplaneType3(
+        direction=cplane.DIRECTION_UL, sfn=9, subframe=3, slot=2,
+        start_symbol=0,
+        section=cplane.CplaneSection(section_id=7, prb_start=0,
+                                     nof_prb=12, nof_symbols=12),
+        time_offset=1024, scs_hz=1_250, fft_size=12, cp_length=3168,
+        frequency_offset=-4096, iq_width=9)
+    blob = cplane.build_type3(msg)
+    back = cplane.parse(blob)
+    assert back == msg
+
+
+def test_ru_ofh_cplane_scheduling_loopback():
+    """DL grids ride C-plane + U-plane pairs; the receiver validates the
+    U-plane against the schedule and flags out-of-schedule sections."""
+    from srsran_tpu.ofh import cplane
+    rng = np.random.default_rng(5)
+    nof_prb = 24
+    grid = (rng.normal(size=(2, 14, nof_prb * 12))
+            + 1j * rng.normal(size=(2, 14, nof_prb * 12))
+            ).astype(np.complex64) * 0.2
+    cable = InMemoryCable()
+    du = RuOfh(cable.endpoint_a(), nof_ports=2, nof_prb=nof_prb)
+    ru = RuOfh(cable.endpoint_b(), nof_ports=2, nof_prb=nof_prb)
+    du.send_dl_grid(jnp.asarray(grid), slot=1)
+    assert du.metrics["cplane_tx"] == 2          # one per eAxC
+    out = ru.receive_ul_grid(14)
+    assert out is not None
+    assert ru.metrics["cplane_rx"] == 2
+    assert ru.metrics["unscheduled_uplane"] == 0
+    sched = ru.rx_schedule[0]
+    assert isinstance(sched, cplane.CplaneType1)
+    assert sched.section.nof_prb == nof_prb and sched.slot == 1
+    # now shrink the schedule to 4 symbols: later-symbol U-plane frames are
+    # flagged as unscheduled
+    ru.rx_schedule = {p: cplane.CplaneType1(
+        direction=1, sfn=0, subframe=0, slot=1, start_symbol=0,
+        section=cplane.CplaneSection(section_id=p, prb_start=0,
+                                     nof_prb=nof_prb, nof_symbols=4))
+        for p in range(2)}
+    du.send_dl_grid(jnp.asarray(grid), slot=1)
+    # drop the fresh C-plane messages so the stale 4-symbol schedule rules
+    kept = [f for f in list(cable.a_to_b)]
+    cable.a_to_b.clear()
+    for f in kept:
+        _, _, _, pdu = __import__(
+            "srsran_tpu.ofh.ecpri", fromlist=["parse_eth"]).parse_eth(f)
+        if pdu[1] == 2:          # eCPRI msg type RT_CONTROL
+            continue
+        cable.a_to_b.append(f)
+    ru.receive_ul_grid(14)
+    assert ru.metrics["unscheduled_uplane"] == 2 * 10   # symbols 4..13

@@ -84,3 +84,27 @@ def test_transform_precoded_pusch():
     res = pusch.process(jnp.asarray(rx.astype(np.complex64)), cfg)
     assert bool(res.tb_crc_ok)
     np.testing.assert_array_equal(np.asarray(res.tb_bits), payload)
+
+
+def test_evm_closed_form_equals_remodulation():
+    """The per-axis nearest-level distance must equal the remodulate-the-
+    hard-bits error for Gray square QAM (the closed form the fast path
+    uses)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from srsran_tpu.ops.modulation import (modulate, demodulate,
+                                           BITS_PER_SYMBOL)
+    rng = np.random.default_rng(3)
+    for scheme in ("qpsk", "qam16", "qam64", "qam256"):
+        qm = BITS_PER_SYMBOL[scheme]
+        bits = rng.integers(0, 2, 4096 * qm).astype(np.int8)
+        clean = modulate(jnp.asarray(bits)[None], scheme)
+        noisy = clean + 0.05 * jnp.asarray(
+            rng.normal(size=clean.shape) + 1j * rng.normal(size=clean.shape))
+        nv = jnp.full(noisy.shape, 0.0025, jnp.float32)
+        llr = demodulate(noisy, nv, scheme)
+        fast = float(evm_mod.evm(noisy, llr, scheme)[0])
+        hard = (np.asarray(llr) < 0).astype(np.int8)
+        ref = np.asarray(modulate(jnp.asarray(hard), scheme))
+        slow = float(np.sqrt(np.mean(np.abs(np.asarray(noisy) - ref) ** 2)))
+        np.testing.assert_allclose(fast, slow, rtol=1e-5)
