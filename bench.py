@@ -140,6 +140,7 @@ def main():
         fn = _packed_ul_fn(cell, plan, ul_tti.slot.subframe_slot_index)
         return fn(rx_in, (), softs, ctx)
 
+    print("BENCH_STAGE compile_dl", file=__import__("sys").stderr)
     t0 = time.time()
     out = [launch_dl(0), launch_dl(1)]      # SSB + no-SSB variants
     jax.block_until_ready(out)
@@ -164,10 +165,12 @@ def main():
             us.append((time.time() - t0) / nof * 1e6)
         return min(us), us
 
+    print("BENCH_STAGE loop1", file=__import__("sys").stderr)
     # ---- timed loop 1: raw slot programs ---------------------------------
     us_per_slot, batch_us = run_batches(
         lambda i: (launch_dl(i), launch_ul(i)))
 
+    print("BENCH_STAGE loop2", file=__import__("sys").stderr)
     # ---- timed loop 2: the conductor (deployment) path --------------------
     cond = SlotConductor(cell)
     cond_payloads = [np.asarray(p[1][0]) for p in dl_payloads]
@@ -198,6 +201,7 @@ def main():
 
     cond_us, cond_batch_us = run_batches(launch_cond)
 
+    print("BENCH_STAGE loop3", file=__import__("sys").stderr)
     # ---- timed loop 3: worst-case decode (all 6 sweeps) -------------------
     noise = jnp.asarray(
         (0.3 * (rng.normal(size=np.asarray(rx).shape)
@@ -205,6 +209,7 @@ def main():
          ).astype(np.complex64))
     sweeps_us, _ = run_batches(lambda i: launch_ul(i, noise), nof=20)
 
+    print("BENCH_STAGE loop4", file=__import__("sys").stderr)
     # ---- timed loop 4: UL through a TDLA channel at 28 dB ----------------
     from srsran_tpu.emulation import channel as chan
     ch = chan.ChannelConfig(profile="TDLA", sinr_db=28.0,
@@ -218,6 +223,7 @@ def main():
     tdl_us, _ = run_batches(lambda i: launch_ul(i, rx_tdl), nof=20)
     tdl_crc_probe = launch_ul(0, rx_tdl)[0][0]
 
+    print("BENCH_STAGE resolve", file=__import__("sys").stderr)
     # ---- resolve (off the hot loop; flips the tunnel into sync mode) -----
     assert float(crc_probe) > 0.5, "bench UL loopback must decode"
     assert float(tdl_crc_probe) > 0.5, "TDL UL loopback must decode"

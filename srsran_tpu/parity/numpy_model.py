@@ -217,3 +217,123 @@ def zc_base_sequence(u: int, v: int, m_sc: int) -> np.ndarray:
         m = n % nzc
         out[n] = np.exp(-1j * np.pi * q * m * (m + 1) / nzc)
     return out
+
+
+# ------------------------------------------------ receive-chain goldens
+# Spec-direct numpy models for the UL receive chain (round-trip tests can
+# hide calibrated-in-pairs bugs; these pin VALUES independently).
+
+
+def maxlog_llr(symbols: np.ndarray, noise_var: np.ndarray,
+               scheme: str) -> np.ndarray:
+    """Exact max-log LLRs by brute force over the FULL 2-D constellation:
+    llr_b = (min_{s: b=1} |y-s|^2 - min_{s: b=0} |y-s|^2) / noise_var.
+    LLR > 0 means bit 0 (matches ops.modulation.demodulate)."""
+    qm = {"qpsk": 2, "qam16": 4, "qam64": 6, "qam256": 8}[scheme]
+    msgs = np.array([[(v >> (qm - 1 - b)) & 1 for b in range(qm)]
+                     for v in range(1 << qm)], np.int8)
+    points = modulate(msgs.reshape(-1), scheme)          # [2^Qm]
+    nv = np.broadcast_to(np.asarray(noise_var, np.float64), symbols.shape)
+    out = np.empty(symbols.shape + (qm,), np.float64)
+    for i, y in np.ndenumerate(symbols):
+        d2 = np.abs(y - points) ** 2
+        for b in range(qm):
+            d0 = d2[msgs[:, b] == 0].min()
+            d1 = d2[msgs[:, b] == 1].min()
+            out[i + (b,)] = (d1 - d0) / max(nv[i], 1e-12)
+    return out.reshape(symbols.shape[:-1] + (-1,))
+
+
+def zf_equalize(y: np.ndarray, h: np.ndarray, noise_var: float):
+    """Per-RE ZF: x = (H^H H)^-1 H^H y; out_nv = nv * diag((H^H H)^-1).
+
+    y [RE, P], h [RE, P, L] -> (x [RE, L], out_nv [RE, L])."""
+    hh = np.conj(np.swapaxes(h, -1, -2))                 # [RE, L, P]
+    gram = hh @ h                                        # [RE, L, L]
+    ginv = np.linalg.inv(gram)
+    x = np.einsum("rlm,rmp,rp->rl", ginv, hh, y)
+    out_nv = noise_var * np.real(np.einsum("rll->rl", ginv))
+    return x, out_nv
+
+
+def mmse_equalize(y: np.ndarray, h: np.ndarray, noise_var: float):
+    """Per-RE MMSE: x = (H^H H + nv I)^-1 H^H y; effective noise
+    nv * [A^-1 G A^-1]_ll (unbiased-equivalent form)."""
+    hh = np.conj(np.swapaxes(h, -1, -2))
+    gram = hh @ h
+    a = gram + noise_var * np.eye(h.shape[-1])
+    ainv = np.linalg.inv(a)
+    x = np.einsum("rlm,rmp,rp->rl", ainv, hh, y)
+    eff = np.einsum("rlm,rmn,rnk->rlk", ainv, gram, ainv)
+    out_nv = noise_var * np.real(np.einsum("rll->rl", eff))
+    return x, out_nv
+
+
+def ls_estimate(rx_pilots: np.ndarray, expected: np.ndarray) -> np.ndarray:
+    """LS channel estimate averaged over DM-RS symbols (no smoothing):
+    rx [P, S, K], expected [L, S, K] -> h [P, L, K]."""
+    ls = rx_pilots[:, None] * np.conj(expected)[None]    # [P, L, S, K]
+    return ls.mean(axis=2)
+
+
+# --------------------------------------------------- LDPC encode (numpy)
+
+
+def _bg_shift_matrix(bg: int, z: int):
+    """Dense lifted parity-check matrix H [m*z, n*z] from the BG tables."""
+    from ..ops.ldpc_graph import get_graph
+    g = get_graph(bg, z)
+    h = np.zeros((g.nof_rows * z, g.nof_cols * z), np.uint8)
+    eye = np.eye(z, dtype=np.uint8)
+    for r, row in enumerate(g.rows):
+        for c, shift in row:
+            # row i of the block selects c[(i + shift) mod z], matching
+            # parity_check_np's np.roll(c, -shift) convention
+            h[r * z:(r + 1) * z, c * z:(c + 1) * z] = np.roll(
+                eye, int(shift) % z, axis=1)
+    return h
+
+
+def ldpc_encode(info: np.ndarray, bg: int, z: int) -> np.ndarray:
+    """Systematic LDPC encode by direct GF(2) solve of the core parities
+    (independent of ops.ldpc_encode's gather-plan formulation).
+
+    info [K] -> full codeword [n*z] (2z punctured bits INCLUDED)."""
+    h = _bg_shift_matrix(bg, z)
+    m_all, n_all = h.shape
+    k = info.shape[0]
+    cw = np.zeros(n_all, np.uint8)
+    cw[:k] = info
+    # core: first 4 rows involve parities p0..p3 (cols k..k+4z)
+    core = h[: 4 * z]
+    lam = (core[:, :k].astype(np.int64) @ cw[:k].astype(np.int64)) % 2
+    a = core[:, k:k + 4 * z] % 2                         # [4z, 4z]
+    # GF(2) Gaussian elimination solve a p = lam
+    aa = np.concatenate([a.astype(np.uint8),
+                         lam[:, None].astype(np.uint8)], axis=1)
+    nr = aa.shape[0]
+    row = 0
+    for col in range(4 * z):
+        piv = np.nonzero(aa[row:, col])[0]
+        if len(piv) == 0:
+            continue
+        piv = piv[0] + row
+        if piv != row:
+            aa[[row, piv]] = aa[[piv, row]]
+        sel = np.nonzero(aa[:, col])[0]
+        sel = sel[sel != row]
+        aa[sel] ^= aa[row]
+        row += 1
+        if row == nr:
+            break
+    p_core = aa[:4 * z, -1]
+    cw[k:k + 4 * z] = p_core
+    # extension rows: each row r >= 4 has identity at parity col k + r*z
+    m_rows = m_all // z
+    for r in range(4, m_rows):
+        blk = h[r * z:(r + 1) * z].astype(np.int64)
+        lam_r = (blk[:, :k + 4 * z] @ cw[:k + 4 * z].astype(np.int64)) % 2
+        cw[k + r * z:k + (r + 1) * z] = lam_r
+    assert np.all((h.astype(np.int64) @ cw.astype(np.int64)) % 2 == 0), \
+        "numpy LDPC encode failed parity"
+    return cw
