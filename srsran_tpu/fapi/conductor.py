@@ -246,9 +246,187 @@ def pack_ul_results(out: dict) -> tuple:
     return scalars, payload
 
 
+def _dl_payload_layout(dl_plan, n_ssb: int, n_pdcch: int, n_pdsch: int):
+    """Static (offset, nof_bytes, nof_bits) per payload in blob order
+    (mib..., dci..., sch...) for the fused single-H2D payload blob.
+
+    The blob is the TPU-side analogue of the reference's tx_data.request TLV
+    byte buffers (include/srsran/fapi/messages/tx_data_request.h): ONE
+    packed-byte transfer per slot instead of one bit-per-int8 array per PDU
+    (the axon tunnel charges ~140 us base latency per transfer and the
+    bit-per-byte encoding is 8x the wire size — measured 747 us for the
+    flagship TB vs 155 us packed)."""
+    _, pdcch_cfgs, pdsch_cfgs, _, _ = dl_plan
+    segs = []
+    off = 0
+    for _ in range(n_ssb):
+        segs.append((off, 3, 24))               # MIB is 24 bits
+        off += 3
+    for cfg in pdcch_cfgs:
+        nb = (cfg.payload_bits + 7) // 8
+        segs.append((off, nb, cfg.payload_bits))
+        off += nb
+    for cfg in pdsch_cfgs:
+        nb = (cfg.tbs + 7) // 8
+        segs.append((off, nb, cfg.tbs))
+        off += nb
+    return tuple(segs), max(off, 1)
+
+
+def pack_payload_blob(layout, payloads) -> np.ndarray:
+    """Host-side: concatenate payloads into one packed uint8 blob.
+
+    Each payload may be packed bytes (uint8, len == nof_bytes — the FAPI
+    wire format, preferred) or unpacked bits (0/1 per element, len ==
+    nof_bits — packed here via np.packbits, MSB first)."""
+    segs, total = layout
+    assert len(payloads) == len(segs), \
+        f"payload count {len(payloads)} != plan's {len(segs)}"
+    blob = np.zeros(total, np.uint8)
+    for (off, nb, n_bits), p in zip(segs, payloads):
+        a = np.asarray(p)
+        if a.size == nb and n_bits != nb:
+            blob[off:off + nb] = a.astype(np.uint8, copy=False)
+        elif a.size == n_bits:
+            blob[off:off + nb] = np.packbits(a.astype(np.uint8, copy=False))
+        else:
+            from .validators import ValidationError
+            raise ValidationError(
+                f"payload size {a.size} matches neither {n_bits} bits "
+                f"nor {nb} packed bytes")
+    return blob
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_dl_fn(cell: CellConfig, plan, slot_in_subframe: int,
+                  return_grid: bool):
+    """Jitted DL slot program taking ONE packed payload blob: unpack the
+    bits on device (a fused shift/mask — free next to the slot's matmuls)
+    and run dl_slot_core."""
+    from ..phy.slot_programs import dl_slot_core
+    if len(plan) == 4:
+        plan = plan + ((),)
+    n_ssb, n_pdcch, n_pdsch = len(plan[0]), len(plan[1]), len(plan[2])
+    segs, _ = _dl_payload_layout(plan, n_ssb, n_pdcch, n_pdsch)
+    core = dl_slot_core(cell, plan, slot_in_subframe)
+    # numpy (not jnp) so tracing embeds it as a literal without a d2h fetch
+    shifts = np.arange(7, -1, -1, dtype=np.uint8)
+
+    def unpack(blob, seg):
+        off, nb, n_bits = seg
+        b = jax.lax.slice(blob, (off,), (off + nb,))
+        bits = ((b[:, None] >> shifts) & 1).astype(jnp.int8)
+        return bits.reshape(-1)[:n_bits]
+
+    def run(blob, ctx=None):
+        it = iter(segs)
+        mib = tuple(unpack(blob, next(it)) for _ in range(n_ssb))
+        dci = tuple(unpack(blob, next(it)) for _ in range(n_pdcch))
+        sch = tuple(unpack(blob, next(it)) for _ in range(n_pdsch))
+        samples, grid = core(mib, dci, sch, ctx)
+        return (samples, grid) if return_grid else samples
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_slot_fn(cell: CellConfig, dl_plan, ul_plan, slot_in_subframe: int,
+                    stride: int):
+    """ONE jitted program for a full DL+UL slot taking the payload blob from
+    a staged multi-slot device buffer: a single tunnel dispatch per slot
+    (vs separate DL and UL dispatches) and a payload H2D amortized over the
+    staging depth.  XLA also overlaps the independent DL and UL compute.
+
+    stride: byte stride between slots in the staged buffer (static).
+    """
+    from ..phy.slot_programs import dl_slot_core, ul_slot_core
+    if len(dl_plan) == 4:
+        dl_plan = dl_plan + ((),)
+    n_ssb, n_pdcch, n_pdsch = (len(dl_plan[0]), len(dl_plan[1]),
+                               len(dl_plan[2]))
+    segs, total = _dl_payload_layout(dl_plan, n_ssb, n_pdcch, n_pdsch)
+    assert total <= stride, f"payload layout {total} exceeds stride {stride}"
+    dl_core = dl_slot_core(cell, dl_plan, slot_in_subframe)
+    ul_core = ul_slot_core(cell, ul_plan, slot_in_subframe)
+    shifts = np.arange(7, -1, -1, dtype=np.uint8)
+
+    def run(staged_buf, k, rx_samples, prach_fd, soft_buffers, dl_ctx,
+            ul_ctx):
+        blob = jax.lax.dynamic_slice(staged_buf, (k * stride,), (total,))
+
+        def unpack(seg):
+            off, nb, n_bits = seg
+            b = jax.lax.slice(blob, (off,), (off + nb,))
+            bits = ((b[:, None] >> shifts) & 1).astype(jnp.int8)
+            return bits.reshape(-1)[:n_bits]
+
+        it = iter(segs)
+        mib = tuple(unpack(next(it)) for _ in range(n_ssb))
+        dci = tuple(unpack(next(it)) for _ in range(n_pdcch))
+        sch = tuple(unpack(next(it)) for _ in range(n_pdsch))
+        tx_samples, _ = dl_core(mib, dci, sch, dl_ctx)
+        out = ul_core(rx_samples, prach_fd, soft_buffers, ul_ctx)
+        scalars, payload = pack_ul_results(out)
+        new_softs = tuple(r["new_soft"] for r in out["pusch"])
+        return tx_samples, scalars, payload, new_softs
+
+    return jax.jit(run)
+
+
+@dataclasses.dataclass
+class StagedPayloads:
+    """Device-resident payload blobs for several upcoming slots: ONE fused
+    H2D transfer for the whole group (the MAC runs up to
+    max_processing_delay_slots=5 ahead of the PHY in the reference,
+    du_low_config.h:40, so TB payloads for the next few slots are available
+    to stage together)."""
+
+    buf: jnp.ndarray        # uint8 [depth * stride]
+    stride: int
+    depth: int
+
+
+@dataclasses.dataclass
+class _SlotPhase:
+    fn: object
+    dl_ctx: dict
+    ul_ctx: dict
+    layout: tuple
+    n_payloads: tuple
+    soft_shapes: tuple
+
+
+@dataclasses.dataclass
+class _DlPhase:
+    """Per-slot-phase resolved state: validated plan, device slot context,
+    compiled program, payload blob layout (the analogue of the reference
+    translator's per-slot pre-resolved processors,
+    fapi_to_phy_translator.cpp:333)."""
+
+    fn: object
+    ctx: dict
+    layout: tuple
+    n_payloads: tuple       # (n_ssb, n_pdcch_incl_uldci, n_pdsch)
+
+
+@dataclasses.dataclass
+class _UlPhase:
+    fn: object
+    ctx: dict
+    soft_shapes: tuple
+
+
 class SlotConductor:
     """One cell's PHY driver.  Thread-free: slot pipelining comes from JAX's
-    async dispatch (launch slot N+1 while N still runs on device)."""
+    async dispatch (launch slot N+1 while N still runs on device).
+
+    Per-slot-phase resolution (validation, plan normalization, slot-context
+    upload, program compilation, payload layout) is memoized in a phase
+    cache keyed by the request's PDU tuple — repeat slots cost one dict
+    lookup + one fused H2D + one jit dispatch, like the reference translator
+    reusing its pre-built slot processors (fapi_to_phy_translator.cpp:333).
+    The cache is bounded: slot-varying fields cycle (slot-in-frame mod 20,
+    SSB sfn mod 1024)."""
 
     def __init__(self, cell: CellConfig, validate: bool = True,
                  pcap=None):
@@ -258,8 +436,30 @@ class SlotConductor:
         # optional utils.pcap.FapiPcap: capture slot messages + indications
         # (the reference's FAPI logging decorator / pcap writers)
         self.pcap = pcap
+        self._dl_phases: dict = {}
+        self._ul_phases: dict = {}
+        self._slot_phases: dict = {}
 
     # ---------------------------------------------------------------- DL
+
+    def _resolve_dl_phase(self, dl_tti, ul_dci, slot_in_sf,
+                          return_grid) -> _DlPhase:
+        if self.validate:
+            from .validators import validate_dl_tti, validate_ul_dci
+            validate_dl_tti(dl_tti, self.cell)
+            if ul_dci is not None:
+                validate_ul_dci(ul_dci, self.cell)
+        extra = ul_dci.pdcch if ul_dci is not None else ()
+        plan, ctx = normalize_dl_plan(dl_tti, extra)
+        fn = _packed_dl_fn(self.cell, plan, slot_in_sf, return_grid)
+        layout = _dl_payload_layout(
+            (dl_tti.ssb, dl_tti.pdcch + tuple(extra), dl_tti.pdsch, (), ()),
+            len(dl_tti.ssb), len(dl_tti.pdcch) + len(extra),
+            len(dl_tti.pdsch))
+        return _DlPhase(fn=fn, ctx=ctx, layout=layout,
+                        n_payloads=(len(dl_tti.ssb),
+                                    len(dl_tti.pdcch) + len(extra),
+                                    len(dl_tti.pdsch)))
 
     def process_dl(self, dl_tti: DlTtiRequest, tx_data: TxDataRequest,
                    ul_dci: UlDciRequest | None = None,
@@ -270,40 +470,134 @@ class SlotConductor:
         (samples, None).
 
         The jitted program is keyed on a slot-invariant plan; slot-varying
-        scrambling inits enter as traced inputs (so one compile serves all
-        slots — the analogue of the reference's per-slot processor reuse).
-        ul_dci PDUs (UL grants) transmit through the same PDCCH path.
+        scrambling values enter as cached device context (so one compile
+        serves all slots — the analogue of the reference's per-slot
+        processor reuse).  ul_dci PDUs (UL grants) transmit through the same
+        PDCCH path.  Payloads (MIB/DCI/TB) may be packed bytes (the FAPI
+        wire format, preferred — len == ceil(bits/8)) or unpacked 0/1 bit
+        arrays; all of a slot's payloads ride ONE fused H2D transfer.
         """
+        slot_in_sf = dl_tti.slot.subframe_slot_index
+        key = (dl_tti.plan_key(),
+               ul_dci.pdcch if ul_dci is not None else (),
+               slot_in_sf, return_grid)
+        phase = self._dl_phases.get(key)
+        if phase is None:
+            phase = self._resolve_dl_phase(dl_tti, ul_dci, slot_in_sf,
+                                           return_grid)
+            self._dl_phases[key] = phase
         if self.validate:
-            from .validators import (validate_dl_tti, validate_tx_data,
-                                     validate_ul_dci)
-            validate_dl_tti(dl_tti, self.cell)
-            validate_tx_data(tx_data, dl_tti)
-            if ul_dci is not None:
-                validate_ul_dci(ul_dci, self.cell)
+            n_ssb, n_pdcch, n_pdsch = phase.n_payloads
+            from .validators import ValidationError
+            if (len(tx_data.ssb_mib) != n_ssb
+                    or len(tx_data.pdcch_payloads)
+                    + (len(ul_dci.payloads) if ul_dci else 0) != n_pdcch
+                    or len(tx_data.pdsch_payloads) != n_pdsch):
+                raise ValidationError(
+                    "tx_data: payload counts do not match the dl_tti/ul_dci "
+                    f"PDUs ({len(tx_data.ssb_mib)}/"
+                    f"{len(tx_data.pdcch_payloads)}/"
+                    f"{len(tx_data.pdsch_payloads)} vs "
+                    f"{n_ssb}/{n_pdcch}/{n_pdsch})")
         if self.pcap is not None:
             self.pcap.capture("dl_tti", dl_tti)
             self.pcap.capture("tx_data", tx_data)
-        slot_in_sf = dl_tti.slot.subframe_slot_index
-        extra = ul_dci.pdcch if ul_dci is not None else ()
-        plan, ctx = normalize_dl_plan(dl_tti, extra)
-        if return_grid:
-            fn = dl_slot_fn(self.cell, plan, slot_in_sf)
-        else:
-            from ..phy.slot_programs import dl_slot_fn_samples
-            fn = dl_slot_fn_samples(self.cell, plan, slot_in_sf)
-        mib = tuple(jnp.asarray(np.asarray(m, dtype=np.int8))
-                    for m in tx_data.ssb_mib)
-        dci = tuple(jnp.asarray(np.asarray(p, dtype=np.int8))
-                    for p in tx_data.pdcch_payloads)
-        if ul_dci is not None:
-            dci = dci + tuple(jnp.asarray(np.asarray(p, dtype=np.int8))
-                              for p in ul_dci.payloads)
-        sch = tuple(jnp.asarray(np.asarray(p, dtype=np.int8))
-                    for p in tx_data.pdsch_payloads)
+        payloads = (tuple(tx_data.ssb_mib) + tuple(tx_data.pdcch_payloads)
+                    + (tuple(ul_dci.payloads) if ul_dci is not None else ())
+                    + tuple(tx_data.pdsch_payloads))
+        blob = jnp.asarray(pack_payload_blob(phase.layout, payloads))
+        out = phase.fn(blob, phase.ctx)
         if not return_grid:
-            return fn(mib, dci, sch, ctx), None
-        return fn(mib, dci, sch, ctx)
+            return out, None
+        return out
+
+    # ----------------------------------------------------- fused slot path
+
+    def payload_layout(self, dl_tti: DlTtiRequest,
+                       ul_dci: UlDciRequest | None = None):
+        """(segments, total_bytes) of the slot's payload blob."""
+        extra = ul_dci.pdcch if ul_dci is not None else ()
+        return _dl_payload_layout(
+            (dl_tti.ssb, dl_tti.pdcch + tuple(extra), dl_tti.pdsch, (), ()),
+            len(dl_tti.ssb), len(dl_tti.pdcch) + len(extra),
+            len(dl_tti.pdsch))
+
+    def stage_payloads(self, slots, stride: int | None = None
+                       ) -> StagedPayloads:
+        """One fused H2D for several slots' payloads.
+
+        slots: sequence of (dl_tti, tx_data[, ul_dci]) tuples for upcoming
+        slots.  stride: byte stride per slot (>= every slot's layout total);
+        pass a fixed value so one compiled program serves every staging
+        group (default: the max layout total of this group).
+        """
+        entries = []
+        for s in slots:
+            dl_tti, tx_data = s[0], s[1]
+            ul_dci = s[2] if len(s) > 2 else None
+            layout = self.payload_layout(dl_tti, ul_dci)
+            payloads = (tuple(tx_data.ssb_mib)
+                        + tuple(tx_data.pdcch_payloads)
+                        + (tuple(ul_dci.payloads) if ul_dci else ())
+                        + tuple(tx_data.pdsch_payloads))
+            entries.append((layout, payloads))
+        if stride is None:
+            stride = max(lay[1] for lay, _ in entries)
+        buf = np.zeros(len(entries) * stride, np.uint8)
+        for k, (layout, payloads) in enumerate(entries):
+            if layout[1] > stride:
+                from .validators import ValidationError
+                raise ValidationError(
+                    f"slot payload blob {layout[1]} B exceeds stride {stride}")
+            buf[k * stride:k * stride + layout[1]] = \
+                pack_payload_blob(layout, payloads)
+        return StagedPayloads(buf=jnp.asarray(buf), stride=stride,
+                              depth=len(entries))
+
+    def process_slot(self, dl_tti: DlTtiRequest, ul_tti: UlTtiRequest,
+                     staged: StagedPayloads, k: int, rx_samples,
+                     ul_dci: UlDciRequest | None = None, prach_fd=()):
+        """Full DL+UL slot in ONE device dispatch, payloads pre-staged.
+
+        Returns (tx_samples, PendingSlotResults).  The lowest-overhead
+        deployment path: per slot it costs one dict lookup, one dispatch,
+        and 1/depth of a payload transfer (the analogue of the reference
+        translator's slot handling, fapi_to_phy_translator.cpp:333, which
+        likewise resolves pre-built processors per slot).
+        """
+        slot_in_sf = dl_tti.slot.subframe_slot_index
+        key = (dl_tti.plan_key(),
+               ul_dci.pdcch if ul_dci is not None else (),
+               ul_tti.plan_key(), slot_in_sf, staged.stride)
+        phase = self._slot_phases.get(key)
+        if phase is None:
+            dl_phase = self._resolve_dl_phase(dl_tti, ul_dci, slot_in_sf,
+                                              False)
+            ul_phase = self._resolve_ul_phase(ul_tti, slot_in_sf)
+            extra = ul_dci.pdcch if ul_dci is not None else ()
+            dl_plan, _ = normalize_dl_plan(dl_tti, extra)
+            ul_plan, _ = normalize_ul_plan(ul_tti)
+            fn = _packed_slot_fn(self.cell, dl_plan, ul_plan, slot_in_sf,
+                                 staged.stride)
+            phase = _SlotPhase(fn=fn, dl_ctx=dl_phase.ctx,
+                               ul_ctx=ul_phase.ctx, layout=dl_phase.layout,
+                               n_payloads=dl_phase.n_payloads,
+                               soft_shapes=ul_phase.soft_shapes)
+            self._slot_phases[key] = phase
+        if self.pcap is not None:
+            self.pcap.capture("dl_tti", dl_tti)
+            self.pcap.capture("ul_tti", ul_tti)
+        harq_meta = ul_tti.pusch_harq or tuple((0, True) for _ in ul_tti.pusch)
+        softs = tuple(
+            self.harq_pool.get(c.rnti, hid, shape, new)
+            for c, shape, (hid, new) in zip(ul_tti.pusch, phase.soft_shapes,
+                                            harq_meta))
+        tx_samples, scalars, payload, new_softs = phase.fn(
+            staged.buf, k, rx_samples, tuple(prach_fd), softs,
+            phase.dl_ctx, phase.ul_ctx)
+        return tx_samples, PendingSlotResults(
+            ul_tti=ul_tti, harq_meta=harq_meta, scalars=scalars,
+            payload=payload, new_softs=new_softs, conductor=self)
 
     # ---------------------------------------------------------------- UL
 
@@ -311,6 +605,15 @@ class SlotConductor:
         bg = select_base_graph(cfg.tbs, cfg.target_code_rate)
         seg = segment_tb(cfg.tbs, bg)
         return (seg.nof_codeblocks, seg.codeword_bits)
+
+    def _resolve_ul_phase(self, ul_tti, slot_in_sf) -> _UlPhase:
+        if self.validate:
+            from .validators import validate_ul_tti
+            validate_ul_tti(ul_tti, self.cell)
+        plan, ctx = normalize_ul_plan(ul_tti)
+        fn = _packed_ul_fn(self.cell, plan, slot_in_sf)
+        shapes = tuple(self._pusch_soft_shape(c) for c in ul_tti.pusch)
+        return _UlPhase(fn=fn, ctx=ctx, soft_shapes=shapes)
 
     def process_ul(self, ul_tti: UlTtiRequest, samples,
                    prach_fd=()) -> PendingSlotResults:
@@ -320,19 +623,25 @@ class SlotConductor:
         .resolve() on the returned object (ideally a few slots later) to
         decode indications; HARQ soft buffers are stored/released there.
         """
-        if self.validate:
-            from .validators import validate_ul_tti
-            validate_ul_tti(ul_tti, self.cell)
+        slot_in_sf = ul_tti.slot.subframe_slot_index
+        key = (ul_tti.plan_key(), slot_in_sf)
+        phase = self._ul_phases.get(key)
+        if phase is None:
+            phase = self._resolve_ul_phase(ul_tti, slot_in_sf)
+            self._ul_phases[key] = phase
+        if self.validate and ul_tti.pusch_harq:
+            from .validators import ValidationError
+            if len(ul_tti.pusch_harq) != len(ul_tti.pusch):
+                raise ValidationError("ul_tti: pusch_harq length mismatch")
         if self.pcap is not None:
             self.pcap.capture("ul_tti", ul_tti)
-        slot_in_sf = ul_tti.slot.subframe_slot_index
-        plan, ctx = normalize_ul_plan(ul_tti)
-        fn = _packed_ul_fn(self.cell, plan, slot_in_sf)
         harq_meta = ul_tti.pusch_harq or tuple((0, True) for _ in ul_tti.pusch)
         softs = tuple(
-            self.harq_pool.get(c.rnti, hid, self._pusch_soft_shape(c), new)
-            for c, (hid, new) in zip(ul_tti.pusch, harq_meta))
-        scalars, payload, new_softs = fn(samples, tuple(prach_fd), softs, ctx)
+            self.harq_pool.get(c.rnti, hid, shape, new)
+            for c, shape, (hid, new) in zip(ul_tti.pusch, phase.soft_shapes,
+                                            harq_meta))
+        scalars, payload, new_softs = phase.fn(samples, tuple(prach_fd),
+                                               softs, phase.ctx)
         return PendingSlotResults(ul_tti=ul_tti, harq_meta=harq_meta,
                                   scalars=scalars, payload=payload,
                                   new_softs=new_softs, conductor=self)
