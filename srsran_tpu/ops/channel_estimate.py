@@ -46,12 +46,22 @@ class ChannelEstimate:
 
 
 @functools.lru_cache(maxsize=None)
-def _rc_filter(nof_taps: int = 31, rolloff: float = 0.2, stride: int = 2) -> np.ndarray:
-    """Raised-cosine smoothing FIR resampled to the DM-RS stride and
-    renormalized (port_channel_estimator_helpers.cpp:47-119)."""
-    t = (np.arange(nof_taps) - (nof_taps - 1) / 2) / stride
+def _rc_filter(rolloff: float = 0.2, stride: int = 2,
+               nof_rb: int = 3) -> np.ndarray:
+    """Raised-cosine smoothing FIR (port_channel_estimator_helpers.cpp:47-119).
+
+    The reference designs ONE full-rate pulse on the subcarrier lattice
+    (10 samples per 'symbol', 31 taps = 3-RB span) that attenuates time
+    components beyond Ts/10 (> the ~Ts/14 CP), then DOWNSAMPLES it by the
+    pilot stride and renormalizes — so the continuous-time response (and
+    hence the delay spread it tracks) is the same for any pilot density,
+    including contiguous (stride 1) PUCCH F3/F4 pilots."""
+    span_rb = min(nof_rb, 3)
+    nof_full = span_rb * 10 + 1
+    half = nof_full // 2 // stride
+    k = np.arange(-half, half + 1) * stride / 10.0
     with np.errstate(divide="ignore", invalid="ignore"):
-        h = np.sinc(t) * np.cos(np.pi * rolloff * t) / (1 - (2 * rolloff * t) ** 2)
+        h = np.sinc(k) * np.cos(np.pi * rolloff * k) / (1 - (2 * rolloff * k) ** 2)
     h[~np.isfinite(h)] = np.pi / 4 * np.sinc(1 / (2 * rolloff)) if rolloff else 0.0
     h = np.nan_to_num(h)
     return (h / h.sum()).astype(np.float32)
@@ -115,8 +125,31 @@ def _smooth_interp_matrix(pilot_scs_key: tuple, nof_sc: int, strategy: str,
     f_mat = np.zeros((k_p, k_p), np.float32)
     rows = np.arange(k_p)
     for t, h in enumerate(taps):
-        src = np.clip(rows - pad + t, 0, k_p - 1)
-        np.add.at(f_mat, (rows, src), h)
+        src = rows - pad + t
+        # Out-of-band sources: LINEAR extrapolation from the nearest two
+        # pilots (the matrix analogue of the reference's virtual pilots,
+        # port_channel_estimator_helpers.cpp compute_v_pilots — without it
+        # edge-replication corrupts filter-span/2 subcarriers at each edge,
+        # most of a small PUCCH allocation).
+        low = src < 0
+        high = src > k_p - 1
+        mid = ~(low | high)
+        np.add.at(f_mat, (rows[mid], src[mid]), h)
+        if low.any() and k_p >= 2:
+            s = src[low].astype(np.float32)          # negative
+            np.add.at(f_mat, (rows[low], np.zeros(low.sum(), int)),
+                      h * (1.0 - s))
+            np.add.at(f_mat, (rows[low], np.ones(low.sum(), int)), h * s)
+        elif low.any():
+            np.add.at(f_mat, (rows[low], np.zeros(low.sum(), int)), h)
+        if high.any() and k_p >= 2:
+            d = (src[high] - (k_p - 1)).astype(np.float32)
+            np.add.at(f_mat, (rows[high],
+                              np.full(high.sum(), k_p - 1)), h * (1.0 + d))
+            np.add.at(f_mat, (rows[high],
+                              np.full(high.sum(), k_p - 2)), -h * d)
+        elif high.any():
+            np.add.at(f_mat, (rows[high], np.full(high.sum(), k_p - 1)), h)
     return (i_mat @ f_mat).astype(np.float32)
 
 

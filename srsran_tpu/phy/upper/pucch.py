@@ -555,9 +555,15 @@ def f3_dmrs_values_for(cfg: PucchF3Config,
 
 
 def process_format3(grid: jnp.ndarray, cfg: PucchF3Config, ncs=None):
-    """F3/F4 receive: estimate from DM-RS, equalize, inverse transform
-    precode, (de-spread,) demap, descramble, UCI decode."""
+    """F3/F4 receive: estimate from DM-RS via the PORT CHANNEL ESTIMATOR
+    (RC-filter smoothing + residual noise variance, the same operator as
+    PUSCH — the reference runs formats 2-4 through
+    port_channel_estimator_average_impl,
+    lib/phy/upper/signal_processors/pucch/pucch_processor_impl.cpp),
+    equalize, inverse transform precode, (de-spread,) demap, descramble,
+    UCI decode."""
     from .uci import decode_uci
+    from ...ops import channel_estimate as chest
     from ...ops.modulation import demodulate
     from ...ops.scrambling import descramble_llrs
     from ...ops.transform_precode import deprecode
@@ -570,25 +576,23 @@ def process_format3(grid: jnp.ndarray, cfg: PucchF3Config, ncs=None):
             getattr(ncs, "dtype", jnp.uint32), jnp.complexfloating):
         dmrs_vals, ncs = jnp.asarray(ncs), None   # f3_dmrs_values_for
 
-    h_acc = jnp.zeros((grid.shape[0], m), dtype=jnp.complex64)
-    noise_acc = 0.0
+    refs = []
     for si, s in enumerate(dmrs_rel):
         l = cfg.start_symbol + s
         if dmrs_vals is not None:
-            ref = dmrs_vals[si]
+            refs.append(dmrs_vals[si])
         else:
-            ref = jnp.asarray(
-                _f3_dmrs_seq(cfg, l, None if ncs is None else ncs[l]))
-        rx = grid[:, l, sc]
-        ls = rx * jnp.conj(ref)
-        h_acc = h_acc + ls
-        noise_acc = noise_acc + jnp.mean(
-            jnp.abs(ls - jnp.mean(ls, axis=-1, keepdims=True)) ** 2)
-    h = h_acc / len(dmrs_rel)
-    # smooth: wideband mean per port (flat-fading assumption within 1-16 RB)
-    h_flat = jnp.mean(h, axis=-1, keepdims=True) * jnp.ones_like(h)
-    h_use = 0.5 * (h + h_flat)
-    noise = noise_acc / max(len(dmrs_rel), 1)
+            refs.append(jnp.asarray(
+                _f3_dmrs_seq(cfg, l, None if ncs is None else ncs[l])))
+    expected = jnp.stack(refs, axis=0)[None]                 # [1, Sd, M]
+    rx_pil = jnp.stack([grid[:, cfg.start_symbol + s, sc]
+                        for s in dmrs_rel], axis=1)          # [P, Sd, M]
+    # contiguous pilots (stride 1): the full-rate CP-matched RC filter
+    est = chest.estimate(rx_pil, expected, np.arange(m), nof_sc=m,
+                         nof_symbols=cfg.nof_symbols, scs_hz=30e3,
+                         stride=1, smoothing="filter", estimate_cfo=False)
+    h_use = est.coeffs[:, 0, 0]                              # [P, M]
+    noise = jnp.mean(est.noise_var)
 
     qm = 1 if cfg.pi2_bpsk else 2
     m_data = m // cfg.occ_length
@@ -600,7 +604,10 @@ def process_format3(grid: jnp.ndarray, cfg: PucchF3Config, ncs=None):
         rx = grid[:, l, sc]
         corr = jnp.sum(jnp.conj(h_use) * rx, axis=0)
         energy = jnp.sum(jnp.abs(h_use) ** 2, axis=0)
-        eq = corr / jnp.maximum(energy, 1e-12)
+        # MMSE loading (the reference's channel_equalizer MMSE mode): on a
+        # DFT-s-OFDM carrier, per-subcarrier ZF blows up noise at channel
+        # notches and the IDFT spreads it over every symbol
+        eq = corr / (energy + noise)
         nv = noise / jnp.maximum(jnp.mean(energy), 1e-12)
         x = deprecode(eq)
         if cfg.occ_length > 1:
@@ -654,8 +661,11 @@ def f2_pilot_values_for(cfg: PucchF2Config,
 
 
 def process_format2(grid: jnp.ndarray, cfg: PucchF2Config, dmrs_cinits=None):
-    """Estimate (comb-3 DM-RS), equalize, demap, descramble, UCI-decode."""
-    p = grid.shape[0]
+    """Estimate comb-3 DM-RS via the PORT CHANNEL ESTIMATOR (the reference
+    runs formats 2-4 through port_channel_estimator_average_impl,
+    lib/phy/upper/signal_processors/pucch/), equalize, demap, descramble,
+    UCI-decode."""
+    from ...ops import channel_estimate as chest
     pilot_vals = None
     if dmrs_cinits is not None and jnp.issubdtype(
             getattr(dmrs_cinits, "dtype", jnp.uint32), jnp.complexfloating):
@@ -667,41 +677,45 @@ def process_format2(grid: jnp.ndarray, cfg: PucchF2Config, dmrs_cinits=None):
     data_sc = np.array(data_sc, dtype=np.int32)
     dmrs_sc = np.array(dmrs_sc, dtype=np.int32)
 
-    llr_parts = []
-    h_energy_acc = 0.0
-    noise_acc = 0.0
+    pilots_rows = []
     for s in range(cfg.nof_symbols):
         l = cfg.start_symbol + s
         if pilot_vals is not None:
-            pilots = pilot_vals[s]
+            pilots_rows.append(pilot_vals[s])
+            continue
+        # DM-RS pilots: Gold c_init per TS38.211 §6.4.1.3.2.1 with n_id0
+        if dmrs_cinits is None:
+            c_init = ((1 << 17) * (14 * cfg.slot + l + 1)
+                      * (2 * cfg.n_id0 + 1) + 2 * cfg.n_id0) % (1 << 31)
         else:
-            # DM-RS pilots: Gold c_init per TS38.211 §6.4.1.3.2.1 with n_id0
-            if dmrs_cinits is None:
-                c_init = ((1 << 17) * (14 * cfg.slot + l + 1)
-                          * (2 * cfg.n_id0 + 1) + 2 * cfg.n_id0) % (1 << 31)
-            else:
-                c_init = dmrs_cinits[s]
-            npil = 4 * cfg.nof_rb
-            adv = 2 * 4 * cfg.rb_start
-            from ...ops.gold import gold_sequence
-            from ...ops.modulation import modulate
-            bits = gold_sequence(c_init, 2 * npil, advance=adv)
-            pilots = modulate(bits[None], "qpsk")[0]
-        rx_pil = grid[:, l, jnp.asarray(dmrs_sc)]               # [P, npil]
-        ls = rx_pil * jnp.conj(pilots)[None]
-        h_pil = jnp.mean(ls, axis=-1, keepdims=True) * jnp.ones_like(ls)
-        noise = jnp.mean(jnp.abs(rx_pil - h_pil * pilots[None]) ** 2)
-        # interpolate flat per pilot neighborhood: nearest-pilot estimate
-        idx = np.searchsorted(dmrs_sc, data_sc).clip(0, len(dmrs_sc) - 1)
-        h_data = ls[:, jnp.asarray(idx)]
+            c_init = dmrs_cinits[s]
+        npil = 4 * cfg.nof_rb
+        adv = 2 * 4 * cfg.rb_start
+        from ...ops.gold import gold_sequence
+        from ...ops.modulation import modulate
+        bits = gold_sequence(c_init, 2 * npil, advance=adv)
+        pilots_rows.append(modulate(bits[None], "qpsk")[0])
+    expected = jnp.stack(pilots_rows, axis=0)[None]          # [1, S, npil]
+    rx_pil = jnp.stack([grid[:, cfg.start_symbol + s, jnp.asarray(dmrs_sc)]
+                        for s in range(cfg.nof_symbols)], axis=1)
+    alloc0 = cfg.rb_start * 12
+    est = chest.estimate(rx_pil, expected, dmrs_sc - alloc0,
+                         nof_sc=12 * cfg.nof_rb,
+                         nof_symbols=cfg.nof_symbols, scs_hz=30e3,
+                         stride=3, smoothing="filter", estimate_cfo=False)
+    h_full = est.coeffs[:, 0, 0]                             # [P, 12*nof_rb]
+    h_data = h_full[:, jnp.asarray(data_sc - alloc0)]
+    noise = jnp.mean(est.noise_var)
+
+    llr_parts = []
+    for s in range(cfg.nof_symbols):
+        l = cfg.start_symbol + s
         rx_d = grid[:, l, jnp.asarray(data_sc)]
         corr = jnp.sum(jnp.conj(h_data) * rx_d, axis=0)
         energy = jnp.sum(jnp.abs(h_data) ** 2, axis=0)
         x = corr / jnp.maximum(energy, 1e-12)
         nv = noise / jnp.maximum(energy, 1e-12)
         llr_parts.append(demodulate(x[None], nv[None], "qpsk")[0])
-        h_energy_acc = h_energy_acc + jnp.mean(energy)
-        noise_acc = noise_acc + noise
     llr = jnp.concatenate(llr_parts)
     c_init = ((cfg.rnti << 15) + cfg.n_id) % (1 << 31)
     llr = descramble_llrs(llr[None], c_init)[0]
