@@ -9,14 +9,25 @@ dataclass message types in fapi/messages.py, with an import allowlist so
 decoding cannot instantiate arbitrary classes.
 
 Message types:
-  config       MAC -> PHY: cell configuration (once, on connect)
+  fapi_config  MAC -> PHY: a config-plane message (ParamRequest,
+               ConfigRequest, StartRequest, StopRequest from
+               fapi/config_messages.py — the SCF-222 config plane,
+               include/srsran/fapi/messages/config_messages.h); the reply
+               is fapi_config_reply carrying the response dataclass (or
+               None for start.request accepted).  Cells reconfigure
+               without process restart: stop.request -> config.request ->
+               start.request.
+  config       legacy shorthand: bare CellConfig == config.request +
+               start.request (kept for round-2/3 clients)
   dl_tti       MAC -> PHY: {dl: DlTtiRequest, tx: TxDataRequest}
   ul_tti       MAC -> PHY: {ul: UlTtiRequest} -> reply slot_results
   rx_samples   test/RU-emulator path: inject UL antenna samples for a slot
                (the reference's ru_emulator plays this role over eCPRI,
                apps/examples/ofh/ru_emulator.cpp)
   slot_results PHY -> MAC: SlotResults (crc/rx_data/uci/rach indications)
-  stop         MAC -> PHY: shut down
+  error_indication PHY -> MAC: fapi::error_indication analogue for slot
+               messages in the wrong state or outside the processing window
+  stop         MAC -> PHY: shut down the server process
 """
 
 from __future__ import annotations
@@ -137,31 +148,73 @@ class FapiClient:
 
     def __init__(self, host: str, port: int, timeout: float = 300.0):
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        self.error_indications: list = []   # async fapi::error_indication
 
     def configure(self, cell) -> None:
+        """Legacy one-shot: config.request + start.request."""
         send_msg(self._sock, "config", cell)
         t, _ = recv_msg(self._sock)
         assert t == "config_ok", t
 
+    def config_msg(self, msg):
+        """Send one config-plane message (fapi/config_messages.py) and
+        return the PHY's reply dataclass (None for an accepted
+        start.request)."""
+        send_msg(self._sock, "fapi_config", msg)
+        t, body = recv_msg(self._sock)
+        assert t == "fapi_config_reply", t
+        return body
+
+    def reconfigure(self, cell):
+        """Cell reconfiguration without restarting the PHY process:
+        stop.request -> config.request -> start.request."""
+        from .config_messages import (ConfigRequest, StartRequest,
+                                      StopRequest, ErrorCode)
+        self.config_msg(StopRequest())
+        resp = self.config_msg(ConfigRequest(cell=cell))
+        if resp.error_code is not ErrorCode.MSG_OK:
+            raise ValueError(f"config rejected: {resp.invalid_params}")
+        self.config_msg(StartRequest())
+        return resp
+
     def dl_tti(self, dl, tx, want_samples: bool = False):
         """Send the DL slot.  want_samples=True returns the modulated
-        antenna samples (the RU-emulator loopback path, for tests)."""
+        antenna samples (the RU-emulator loopback path, for tests).  A slot
+        rejected by the PHY (wrong state / outside the processing window)
+        returns the ErrorIndication instead."""
         send_msg(self._sock, "dl_tti",
                  {"dl": dl, "tx": tx, "want_samples": want_samples})
         if want_samples:
-            t, body = recv_msg(self._sock)
-            assert t == "dl_samples", t
-            return body
+            while True:
+                t, body = recv_msg(self._sock)
+                if t == "dl_samples":
+                    return body
+                assert t == "error_indication", t
+                if (body.message_id == "dl_tti" and body.sfn == dl.slot.sfn
+                        and body.slot == dl.slot.slot_index):
+                    return body
+                self.error_indications.append(body)
         return None
 
     def rx_samples(self, samples) -> None:
         send_msg(self._sock, "rx_samples", samples)
 
     def ul_tti(self, ul):
+        """Returns SlotResults, or ErrorIndication if the PHY rejected THIS
+        slot.  Error indications for earlier un-replied messages (a gated
+        dl_tti without want_samples) arrive first and are collected into
+        self.error_indications — the analogue of the reference's
+        asynchronous error.indication notifier."""
         send_msg(self._sock, "ul_tti", {"ul": ul})
-        t, body = recv_msg(self._sock)
-        assert t == "slot_results", t
-        return body
+        while True:
+            t, body = recv_msg(self._sock)
+            if t == "slot_results":
+                return body
+            assert t == "error_indication", t
+            if (body.message_id == "ul_tti" and body.sfn == ul.slot.sfn
+                    and body.slot == ul.slot.slot_index):
+                return body
+            self.error_indications.append(body)
 
     def stop(self) -> None:
         try:
@@ -182,7 +235,8 @@ def serve_phy(port: int = 0, host: str = "127.0.0.1",
     `rx_samples` messages stand in for the radio's receive path, exactly
     like the reference's ru_emulator feeds the OFH receiver.
     """
-    from .conductor import SlotConductor
+    from .config_messages import (CellManager, ConfigRequest, StartRequest,
+                                  ErrorCode, ErrorIndication, PhyState)
 
     lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -191,24 +245,46 @@ def serve_phy(port: int = 0, host: str = "127.0.0.1",
     if ready_cb is not None:
         ready_cb(lsock.getsockname()[1])
     conn, _ = lsock.accept()
-    cond = None
+    mgr = CellManager()
     pending_samples = None
+
+    def gate(msg_id, slot):
+        err = mgr.gate_slot(msg_id, slot)
+        if err is not None:
+            send_msg(conn, "error_indication", err)
+        return err
+
     try:
         while True:
             t, body = recv_msg(conn)
             if t == "stop":
                 return
-            if t == "config":
-                cond = SlotConductor(body)
-                send_msg(conn, "config_ok")
-            elif cond is None and t in ("dl_tti", "ul_tti", "rx_samples"):
-                # Protocol-level error reply instead of AttributeError —
-                # mirrors the reference's FAPI error indication on messages
-                # arriving before cell configuration.
-                send_msg(conn, "error",
-                         {"msg": f"{t} before config", "type": t})
+            if t == "fapi_config":
+                send_msg(conn, "fapi_config_reply",
+                         mgr.handle_config_msg(body))
+            elif t == "config":
+                # legacy shorthand: configure + start in one step
+                resp = mgr.handle_config_msg(ConfigRequest(cell=body))
+                if resp.error_code is ErrorCode.MSG_OK:
+                    mgr.handle_config_msg(StartRequest())
+                    send_msg(conn, "config_ok")
+                else:
+                    send_msg(conn, "error",
+                             {"msg": f"bad config: {resp.invalid_params}",
+                              "type": t})
+            elif mgr.state is not PhyState.RUNNING and t in (
+                    "dl_tti", "ul_tti", "rx_samples"):
+                if t == "rx_samples":
+                    send_msg(conn, "error_indication", ErrorIndication(
+                        0, 0, t, ErrorCode.MSG_INVALID_STATE,
+                        f"state={mgr.state.name}"))
+                else:
+                    slot = (body["dl"] if t == "dl_tti" else body["ul"]).slot
+                    gate(t, slot)
             elif t == "dl_tti":
-                samples, _ = cond.process_dl(body["dl"], body["tx"])
+                if gate(t, body["dl"].slot) is not None:
+                    continue
+                samples, _ = mgr.conductor.process_dl(body["dl"], body["tx"])
                 if body.get("want_samples"):
                     send_msg(conn, "dl_samples", np.asarray(samples))
                 else:
@@ -216,8 +292,11 @@ def serve_phy(port: int = 0, host: str = "127.0.0.1",
             elif t == "rx_samples":
                 pending_samples = body
             elif t == "ul_tti":
+                if gate(t, body["ul"].slot) is not None:
+                    continue
                 assert pending_samples is not None, "no UL samples available"
-                res = cond.process_ul(body["ul"], pending_samples).resolve()
+                res = mgr.conductor.process_ul(
+                    body["ul"], pending_samples).resolve()
                 pending_samples = None
                 send_msg(conn, "slot_results", res)
             else:
