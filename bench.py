@@ -315,7 +315,11 @@ def _run(result, errors, stage):
         stride = max(cond.payload_layout(d)[1] for d in DLR)
         warm = []
         for i in range(n_phases):
-            st = cond.stage_payloads([(DLR[i], TXD[i])], stride=stride)
+            # depth-2 staging exactly like the timed loop (a different
+            # staging depth would change the buffer shape and recompile)
+            st = cond.stage_payloads(
+                [(DLR[i], TXD[i]), (DLR[(i + 1) % n_phases],
+                                    TXD[(i + 1) % n_phases])], stride=stride)
             warm.append(cond.process_slot(DLR[i], ULR[i], st, 0, rx))
         jax.block_until_ready([(s, p.scalars) for s, p in warm])
 

@@ -71,6 +71,30 @@ def multi_cell_ul_fn(cell: CellConfig, plan, nof_cells: int, mesh: Mesh,
     return jax.jit(vfn, in_shardings=NamedSharding(mesh, P("cell")))
 
 
+@functools.lru_cache(maxsize=None)
+def single_cell_ul_time_sharded_fn(cell: CellConfig, plan, mesh: Mesh,
+                                   axis: str = "cell",
+                                   slot_in_subframe: int = 0):
+    """UL slot program for ONE fat cell with the SAMPLE TIMELINE sharded
+    over a mesh axis: the OFDM demodulator runs time-sharded (one halo
+    ppermute per slot, parallel.seqpar), then the receive chain processes
+    the assembled grid — all ONE compiled program.
+
+    This is the deployment shape for a cell whose slot deadline needs more
+    than one chip (the analogue of the reference splitting one cell's UL
+    across executor threads, SURVEY §2.6): samples [P, T] arrive with T
+    sharded over `axis`; results are replicated.
+    """
+    from .seqpar import demod_body
+    demod = demod_body(cell, mesh, axis, slot_in_subframe)
+    core = ul_slot_core(cell, plan, slot_in_subframe, from_grid=True)
+
+    def run(samples, prach_fd, soft_buffers, ctx=None):
+        return core(demod(samples), prach_fd, soft_buffers, ctx)
+
+    return jax.jit(run)
+
+
 def shard_cells(mesh: Mesh, tree):
     """Device-put a [cell, ...] pytree sharded over the 'cell' axis."""
     sh = NamedSharding(mesh, P("cell"))

@@ -56,15 +56,12 @@ def _shard_plans(cp: CyclicPrefix, numerology: int, dft_size: int,
     return plans, halo, local
 
 
-def demodulate_slot_timesharded(samples, cell, mesh, axis: str = "cell",
-                                slot_in_subframe: int = 0,
-                                window_offset: int = 0):
-    """OFDM-demodulate one cell's slot with the SAMPLE TIMELINE sharded.
-
-    samples: complex64 [P, T] with T sharded over `axis` of the mesh.
-    Returns the full [P, S, K] grid (replicated).  The cross-shard data
-    movement is ONE ppermute of the halo (dft+max_cp samples per port).
-    """
+def demod_body(cell, mesh, axis: str = "cell", slot_in_subframe: int = 0,
+               window_offset: int = 0):
+    """Build the time-sharded OFDM demodulator as a jit-composable callable
+    samples [P, T] -> grid [P, S, K] (replicated) — so production UL slot
+    programs (parallel.mesh.single_cell_ul_time_sharded_fn) can fuse it
+    with the rest of the receive chain in ONE compiled program."""
     n_shards = mesh.shape[axis]
     plans, halo, local = _shard_plans(cell.cp, cell.numerology,
                                       cell.dft_size, slot_in_subframe,
@@ -115,6 +112,23 @@ def demodulate_slot_timesharded(samples, cell, mesh, axis: str = "cell",
         # every shard contributes its symbols; sum assembles the slot
         return jax.lax.psum(grid_bins, axis)
 
-    out = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P(None, axis),
-                                out_specs=P()))(samples)
-    return ofdm._bins_to_grid(out, cell.nof_sc)
+    sharded = jax.shard_map(body, mesh=mesh, in_specs=P(None, axis),
+                            out_specs=P())
+
+    def demod(samples):
+        return ofdm._bins_to_grid(sharded(samples), cell.nof_sc)
+
+    return demod
+
+
+def demodulate_slot_timesharded(samples, cell, mesh, axis: str = "cell",
+                                slot_in_subframe: int = 0,
+                                window_offset: int = 0):
+    """OFDM-demodulate one cell's slot with the SAMPLE TIMELINE sharded.
+
+    samples: complex64 [P, T] with T sharded over `axis` of the mesh.
+    Returns the full [P, S, K] grid (replicated).  The cross-shard data
+    movement is ONE ppermute of the halo (dft+max_cp samples per port).
+    """
+    fn = demod_body(cell, mesh, axis, slot_in_subframe, window_offset)
+    return jax.jit(fn)(samples)

@@ -125,7 +125,8 @@ def dl_slot_fn_samples(cell: CellConfig, plan, slot_in_subframe: int = 0):
 
 # ----------------------------------------------------------------- UL slot
 
-def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
+def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0,
+                 from_grid: bool = False):
     """Un-jitted UL slot program builder (for jit or vmap over cells).
 
     plan = (pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs[, srs_cfgs
@@ -141,10 +142,15 @@ def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
     pusch_cfgs, f0_cfgs, f1_cfgs, f2_cfgs, prach_cfgs, srs_cfgs, f3_cfgs = plan
 
     def run(samples, prach_fd, soft_buffers, ctx=None):
-        with jax.named_scope("ofdm_demodulate"):
-            grid = ofdm.demodulate_slot(
-                samples, cell.nof_sc, cell.dft_size, cell.numerology, cell.cp,
-                slot_in_subframe, cell.center_freq_hz)
+        if from_grid:
+            # caller provides the [P, S, K] grid (e.g. the time-sharded
+            # OFDM demodulator, parallel.seqpar — one fat cell over chips)
+            grid = samples
+        else:
+            with jax.named_scope("ofdm_demodulate"):
+                grid = ofdm.demodulate_slot(
+                    samples, cell.nof_sc, cell.dft_size, cell.numerology,
+                    cell.cp, slot_in_subframe, cell.center_freq_hz)
         out = {"pusch": [], "pucch_f0": [], "pucch_f1": [], "pucch_f2": [],
                "pucch_f3": [], "prach": [], "srs": []}
         for i, cfg in enumerate(pusch_cfgs):

@@ -56,3 +56,40 @@ def test_timesharded_demod_roundtrip_tx():
     mesh = _mesh_1d(4)
     got = np.asarray(demodulate_slot_timesharded(tx, cell, mesh))
     np.testing.assert_allclose(got, grid, atol=2e-5)
+
+
+def test_single_cell_ul_time_sharded_production_path():
+    """The fused production program: time-sharded OFDM demod (halo
+    ppermute) + full UL receive chain, one compiled fn, CRC-verified."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    from srsran_tpu.phy.upper.pdsch import PdschConfig
+    from srsran_tpu.phy.upper.pusch import PuschConfig
+    from srsran_tpu.phy.slot_programs import dl_slot_fn
+    from srsran_tpu.parallel.mesh import single_cell_ul_time_sharded_fn
+    from srsran_tpu.ran.ldpc_params import segment_tb, select_base_graph
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cell = CellConfig(nof_ports=1, nof_rb=24, dft_size=512, numerology=1,
+                      center_freq_hz=0.0)
+    pusch = PuschConfig(rnti=0x11, rb_start=0, rb_count=24, first_symbol=0,
+                        nof_symbols=14, modulation="qam16",
+                        target_code_rate=0.5, tbs=8448, nof_layers=1,
+                        n_id=0, dmrs_symbols=(2, 7, 11))
+    ue_cfg = PdschConfig(rnti=pusch.rnti, rb_start=0, rb_count=24,
+                         first_symbol=0, nof_symbols=14, modulation="qam16",
+                         target_code_rate=0.5, tbs=pusch.tbs, nof_layers=1,
+                         n_id=0, dmrs_symbols=(2, 7, 11))
+    rng = np.random.default_rng(3)
+    payload = jnp.asarray(rng.integers(0, 2, pusch.tbs).astype(np.int8))
+    tx, _ = dl_slot_fn(cell, ((), (), (ue_cfg,), ()))((), (), (payload,))
+    mesh = _mesh_1d(4)
+    fn = single_cell_ul_time_sharded_fn(cell, ((pusch,), (), (), (), ()),
+                                        mesh)
+    seg = segment_tb(pusch.tbs, select_base_graph(pusch.tbs, 0.5))
+    softs = (jnp.zeros((seg.nof_codeblocks, seg.codeword_bits), jnp.float32),)
+    rx = jax.device_put(np.asarray(tx), NamedSharding(mesh, P(None, "cell")))
+    out = fn(rx, (), softs)
+    assert bool(np.asarray(out["pusch"][0]["tb_crc_ok"]))
+    got = (np.asarray(out["pusch"][0]["tb_bits"]) > 0).astype(np.int8)
+    np.testing.assert_array_equal(got, np.asarray(payload))
