@@ -29,6 +29,7 @@ import numpy as np
 
 from ...ran.cyclic_prefix import CyclicPrefix, slot_num_samples
 from ...ran.prach_params import LONG_FORMATS, SHORT_FORMATS
+from ...utils import sanitize
 from . import prach_demod
 
 
@@ -123,7 +124,10 @@ class BasebandProcessor:
         self._slot = 0
         self._slot_start_ts: dict[int, int] = {}
         self.metrics = {"late_dl": 0, "tx_slots": 0, "rx_slots": 0,
-                        "prach_windows": 0}
+                        "prach_windows": 0, "deadline_miss": 0}
+        # Host-loop deadline budget: one slot duration (the RT contract;
+        # utils/sanitize.DeadlineGuard counts misses, PARANOID raises).
+        self.slot_budget_s = 1e-3 / (1 << numerology)
 
     # ---- control plane (ru_controller / internal_fsm analogue) ----------
     def start(self):
@@ -161,6 +165,11 @@ class BasebandProcessor:
     def tick(self) -> bool:
         """Process one slot; returns False when UL samples ran out."""
         assert self.state == "RUNNING"
+        with sanitize.DeadlineGuard(self.slot_budget_s, "baseband.tick",
+                                    self.metrics):
+            return self._tick()
+
+    def _tick(self) -> bool:
         slot = self._slot
         nsamp = self.slot_samples(slot)
         got = self.ru.receive_ul(nsamp)

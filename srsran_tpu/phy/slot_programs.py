@@ -20,6 +20,8 @@ import jax.numpy as jnp
 
 from ..ran.cyclic_prefix import CyclicPrefix, slot_num_samples
 from ..ops import ofdm
+from .support import resource_grid
+from ..utils import sanitize
 from .upper import ssb as ssb_mod
 from .upper import pdsch as pdsch_mod
 from .upper import pdcch as pdcch_mod
@@ -42,6 +44,10 @@ class CellConfig:
     cp: CyclicPrefix = CyclicPrefix.NORMAL
     center_freq_hz: float = 3.5e9
     tx_scale: float = 1.0
+    # Store the in-program resource grid as complex-bf16 planes (the
+    # reference's cbf16_t layout, resource_grid_impl.h:40-64) instead of
+    # complex64 — halves grid HBM traffic at a bf16 quantization cost.
+    grid_cbf16: bool = False
 
     @property
     def nof_sc(self) -> int:
@@ -69,8 +75,12 @@ def dl_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
         {'ssb': ((static_bits, scr_mask), ...), 'pdcch': (cinits, ...),
          'pdsch': (cinits, ...), 'csi': (cinit, ...)} — keeps the compiled
         program independent of the slot/SFN."""
-        grid = jnp.zeros((cell.nof_ports, 14 if cell.cp is CyclicPrefix.NORMAL
-                          else 12, cell.nof_sc), dtype=jnp.complex64)
+        gshape = (cell.nof_ports,
+                  14 if cell.cp is CyclicPrefix.NORMAL else 12, cell.nof_sc)
+        if cell.grid_cbf16:
+            grid = resource_grid.PackedGrid.zeros(gshape)
+        else:
+            grid = jnp.zeros(gshape, dtype=jnp.complex64)
         # named_scope per block: device-time attribution for
         # utils/device_metrics.profile_blocks (per-block metric decorators).
         for i, (cfg, mib) in enumerate(zip(ssb_cfgs, ssb_mib)):
@@ -106,8 +116,9 @@ def dl_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
 
 @functools.lru_cache(maxsize=None)
 def dl_slot_fn(cell: CellConfig, plan, slot_in_subframe: int = 0):
-    """Jitted single-cell DL slot program."""
-    return jax.jit(dl_slot_core(cell, plan, slot_in_subframe))
+    """Jitted single-cell DL slot program (checkify-instrumented when
+    SRSRAN_TPU_SANITIZE=1; utils/sanitize)."""
+    return sanitize.checkified_jit(dl_slot_core(cell, plan, slot_in_subframe))
 
 
 @functools.lru_cache(maxsize=None)
@@ -120,7 +131,7 @@ def dl_slot_fn_samples(cell: CellConfig, plan, slot_in_subframe: int = 0):
     def run(ssb_mib, pdcch_payloads, pdsch_payloads, ctx=None):
         return core(ssb_mib, pdcch_payloads, pdsch_payloads, ctx)[0]
 
-    return jax.jit(run)
+    return sanitize.checkified_jit(run)
 
 
 # ----------------------------------------------------------------- UL slot
@@ -151,6 +162,10 @@ def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0,
                 grid = ofdm.demodulate_slot(
                     samples, cell.nof_sc, cell.dft_size, cell.numerology,
                     cell.cp, slot_in_subframe, cell.center_freq_hz)
+        if cell.grid_cbf16:
+            # store the demodulated grid as cbf16 planes: every channel
+            # processor's gather then reads half the bytes.
+            grid = resource_grid.pack_grid(grid)
         out = {"pusch": [], "pucch_f0": [], "pucch_f1": [], "pucch_f2": [],
                "pucch_f3": [], "prach": [], "srs": []}
         for i, cfg in enumerate(pusch_cfgs):
@@ -230,5 +245,6 @@ def ul_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0,
 
 @functools.lru_cache(maxsize=None)
 def ul_slot_fn(cell: CellConfig, plan, slot_in_subframe: int = 0):
-    """Jitted single-cell UL slot program."""
-    return jax.jit(ul_slot_core(cell, plan, slot_in_subframe))
+    """Jitted single-cell UL slot program (checkify-instrumented when
+    SRSRAN_TPU_SANITIZE=1; utils/sanitize)."""
+    return sanitize.checkified_jit(ul_slot_core(cell, plan, slot_in_subframe))

@@ -27,6 +27,110 @@ def from_cbf16(packed: jnp.ndarray) -> jnp.ndarray:
     return (r + 1j * i).astype(jnp.complex64)
 
 
+def _norm_index(idx):
+    """Append a full slice for the trailing plane axis so channel-processor
+    indices written against a complex [..., K] grid address the packed
+    [..., K, 2] planes unchanged (Ellipsis keeps absorbing leading dims)."""
+    if not isinstance(idx, tuple):
+        idx = (idx,)
+    return idx + (slice(None),)
+
+
+class _PackedAt:
+    """`.at[idx]` proxy: scatters convert the (small) update patch to bf16
+    planes; the full-grid tensor is only ever touched in bf16."""
+
+    __slots__ = ("_planes", "_idx")
+
+    def __init__(self, planes, idx):
+        self._planes = planes
+        self._idx = _norm_index(idx)
+
+    def add(self, values):
+        return PackedGrid(self._planes.at[self._idx].add(
+            to_cbf16(jnp.asarray(values))))
+
+    def set(self, values):
+        return PackedGrid(self._planes.at[self._idx].set(
+            to_cbf16(jnp.asarray(values))))
+
+
+class _PackedAtProxy:
+    __slots__ = ("_planes",)
+
+    def __init__(self, planes):
+        self._planes = planes
+
+    def __getitem__(self, idx):
+        return _PackedAt(self._planes, idx)
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedGrid:
+    """Resource grid stored as complex-bf16 (the reference's cbf16_t,
+    resource_grid_impl.h:40-64): bfloat16 real/imag planes [..., 2].
+
+    Drop-in for the complex64 grid inside the jit slot programs: gathers
+    (`grid[idx]`) pull the bf16 planes and convert ONLY the gathered patch
+    to complex64; scatters (`grid.at[idx].add/set`) convert the update
+    patch to bf16.  Every full-grid HBM materialization between pipeline
+    stages is therefore half the bytes of the complex64 layout, which is
+    the reference's stated reason for cbf16 storage.
+    """
+
+    __slots__ = ("planes",)
+
+    def __init__(self, planes: jnp.ndarray):
+        self.planes = planes
+
+    @classmethod
+    def zeros(cls, shape) -> "PackedGrid":
+        return cls(jnp.zeros(tuple(shape) + (2,), dtype=jnp.bfloat16))
+
+    @property
+    def shape(self):
+        return self.planes.shape[:-1]
+
+    @property
+    def dtype(self):
+        return jnp.complex64
+
+    @property
+    def ndim(self):
+        return self.planes.ndim - 1
+
+    def __getitem__(self, idx) -> jnp.ndarray:
+        return from_cbf16(self.planes[_norm_index(idx)])
+
+    @property
+    def at(self):
+        return _PackedAtProxy(self.planes)
+
+    def to_complex(self) -> jnp.ndarray:
+        return from_cbf16(self.planes)
+
+    def tree_flatten(self):
+        return (self.planes,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+def pack_grid(grid) -> "PackedGrid":
+    """complex grid -> PackedGrid (no-op if already packed)."""
+    if isinstance(grid, PackedGrid):
+        return grid
+    return PackedGrid(to_cbf16(grid))
+
+
+def as_complex(grid) -> jnp.ndarray:
+    """PackedGrid or complex ndarray -> complex64 ndarray."""
+    if isinstance(grid, PackedGrid):
+        return grid.to_complex()
+    return grid
+
+
 class GridPool:
     """Ring of per-slot grids (resource_grid_pool_impl analogue).
 

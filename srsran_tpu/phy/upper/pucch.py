@@ -138,8 +138,7 @@ def detect_format0(grid: jnp.ndarray, cfg: PucchF0Config,
         l = cfg.start_symbol + s
         prb = (cfg.second_hop_prb
                if s > 0 and cfg.second_hop_prb is not None else cfg.prb)
-        rows.append(jax.lax.slice(grid, (0, l, prb * 12),
-                                  (nports, l + 1, prb * 12 + 12)))
+        rows.append(grid[0:nports, l:l + 1, prb * 12:prb * 12 + 12])
     rx = jnp.concatenate(rows, axis=1)                           # [P, S, 12]
     # Reference sequences for all candidate m_cs at once: [C, S, 12].
     mcs = np.array([m for m, _, _ in table])
@@ -239,8 +238,7 @@ def detect_format1(grid: jnp.ndarray, cfg: PucchF1Config,
         occ_dmrs = _occ(cfg.time_domain_occ, len(dmrs_rel))
         occ_data = _occ(cfg.time_domain_occ, max(len(data_rel), 1))
         # One static slice for the whole hop: [P, nsym, 12].
-        rx = jax.lax.slice(grid, (0, l_lo, prb * 12),
-                           (nports, l_lo + nsym, prb * 12 + 12))
+        rx = grid[0:nports, l_lo:l_lo + nsym, prb * 12:prb * 12 + 12]
         # Per-symbol cyclic-shifted base sequences, vectorized: [nsym, 12].
         if ncs is None:
             ncs_v = _ncs_table(cfg.n_id, cfg.slot)[l_lo: l_lo + nsym]
@@ -356,8 +354,7 @@ def detect_format1_batch(grid: jnp.ndarray, common: PucchF1Config,
         dmrs_rel = [s for s in rel if s % 2 == 0]
         data_rel = [s for s in rel if s % 2 == 1]
         n_dm = max(len(dmrs_rel), 1)
-        rx = jax.lax.slice(grid, (0, l_lo, prb * 12),
-                           (nports, l_lo + nsym, prb * 12 + 12))
+        rx = grid[0:nports, l_lo:l_lo + nsym, prb * 12:prb * 12 + 12]
         if weights is not None:
             a_dm, ph_j, w_da = (jnp.asarray(w) for w in weights[hop_i])
             d0 = rx                    # conj(base) folded into the weights

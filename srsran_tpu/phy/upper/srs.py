@@ -83,7 +83,36 @@ def estimate(grid: jnp.ndarray, cfg: SrsConfig) -> chest.ChannelEstimate:
         [np.repeat(port_sequence(cfg, p)[None], cfg.nof_symbols, axis=0)
          for p in range(cfg.nof_ports)]))                        # [L, S, K]
     scs = 15_000 << cfg.numerology
-    return chest.estimate(
+    est = chest.estimate(
         rx, expected, sc - cfg.rb_start * 12 - cfg.comb_offset,
         cfg.seq_len * cfg.comb, cfg.nof_symbols, float(scs),
         stride=cfg.comb, smoothing="filter", estimate_cfo=False)
+
+    # SRS-specific noise variance (srs_estimator_generic_impl.cpp:208-266):
+    # the generic estimator's smoothing-filter residual leaks cyclic-shift
+    # cross-talk between SRS ports into the noise term.  The reference
+    # instead fits ONE TA-compensated wideband coefficient per (rx, tx)
+    # port pair, reconstructs all ports' signals and subtracts them from
+    # the symbol-accumulated received sequence — cyclic shifts are
+    # orthogonal over the comb, so the residual is cross-talk-free.
+    seq0 = expected[:, 0, :]                                     # [L, K]
+    ls_mean = jnp.mean(rx[:, None] * jnp.conj(expected)[None],
+                       axis=2)                                   # [P, L, K]
+    k = jnp.arange(cfg.seq_len, dtype=jnp.float32)
+    # per-comb-sample phase of a pure delay: 2*pi * ta * scs * comb
+    phase = (2.0 * np.pi * float(scs) * cfg.comb
+             * est.time_alignment_s.astype(jnp.float32)) * k
+    ramp = jnp.exp(1j * phase).astype(jnp.complex64)
+    wideband = jnp.mean(ls_mean * ramp[None, None, :], axis=-1)  # [P, L]
+    recon = jnp.einsum("pl,lk->pk", wideband,
+                       seq0 * jnp.conj(ramp)[None, :])           # [P, K]
+    acc = jnp.sum(rx, axis=1)                                    # [P, K]
+    resid = acc - cfg.nof_symbols * recon
+    # each accumulated sample carries S*sigma^2 of noise; L wideband
+    # coefficients were fit on the K samples -> K-L residual DOF
+    dof = max(cfg.seq_len - cfg.nof_ports, 1)
+    noise_var = jnp.sum(jnp.abs(resid) ** 2, axis=-1) / (
+        float(cfg.nof_symbols) * dof)                            # [P]
+    noise_var = jnp.maximum(noise_var, est.rsrp * 10 ** (-60 / 10))
+    snr = est.rsrp / jnp.maximum(noise_var, 1e-12)
+    return dataclasses.replace(est, noise_var=noise_var, snr=snr)

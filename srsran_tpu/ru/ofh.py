@@ -60,7 +60,8 @@ class RuOfh:
     def __init__(self, cable_endpoint, nof_ports: int, nof_prb: int,
                  iq_width: int = 9, vlan_tci: int = 1,
                  mac_local: bytes = b"\x02\x00\x00\x00\x00\x01",
-                 mac_remote: bytes = b"\x02\x00\x00\x00\x00\x02"):
+                 mac_remote: bytes = b"\x02\x00\x00\x00\x00\x02",
+                 timing=None):
         self.ep = cable_endpoint
         self.nof_ports = nof_ports
         self.nof_prb = nof_prb
@@ -68,13 +69,19 @@ class RuOfh:
         self.vlan_tci = vlan_tci
         self.mac_local = mac_local
         self.mac_remote = mac_remote
+        # OFH timing plane (ofh.timing.OfhTiming): OTA clock + TX/RX window
+        # checkers.  When present, late DL grids are dropped and counted
+        # (ofh_downlink_handler_impl.cpp:78-86) and each received U-plane
+        # message is classified against the Ta4 reception window.
+        self.timing = timing
         self._seq = {}
         self._rx_seq = {}
         # C-plane schedule received from the peer: (pc_id) -> CplaneType1/3
         self.rx_schedule = {}
         self.metrics = {"tx_frames": 0, "rx_frames": 0, "dropped_seq": 0,
                         "cplane_tx": 0, "cplane_rx": 0,
-                        "unscheduled_uplane": 0}
+                        "unscheduled_uplane": 0, "late_dl_grids": 0,
+                        "rx_on_time": 0, "rx_early": 0, "rx_late": 0}
 
     def _next_seq(self, pc_id: int) -> int:
         s = self._seq.get(pc_id, 0)
@@ -99,7 +106,17 @@ class RuOfh:
         A section-type-1 C-plane message per eAxC precedes the U-plane
         frames, like the reference's data-flow pairing
         (ofh_data_flow_cplane_scheduling_commands_impl).
+
+        Returns False (and transmits nothing) when the grid misses its
+        transmission window (ofh_downlink_handler_impl.cpp:78-86).
         """
+        if self.timing is not None:
+            self.timing.poll()
+            mu = self.timing.clock.numerology
+            slot_in_frame = subframe * (1 << mu) + slot
+            if self.timing.tx.is_late(frame_id, slot_in_frame):
+                self.metrics["late_dl_grids"] += 1
+                return False
         exp, mant = bfp_compress(grid, self.iq_width)     # device, batched
         exp_h = np.asarray(exp)                           # [P, S, nprb]
         mant_h = np.asarray(mant)
@@ -128,12 +145,15 @@ class RuOfh:
                                                  self.mac_local,
                                                  self.vlan_tci, pdu))
                     self.metrics["tx_frames"] += 1
+        return True
 
     def receive_ul_grid(self, nsym: int):
         """Drain the cable into one [ports, nsym, nof_prb*12] grid."""
         grid = np.zeros((self.nof_ports, nsym, self.nof_prb * 12),
                         dtype=np.complex64)
         got = False
+        if self.timing is not None:
+            self.timing.poll()
         while True:
             frame = self.ep.recv()
             if frame is None:
@@ -169,6 +189,12 @@ class RuOfh:
                           <= sec.prb_start + nof_prb)
                 if not (in_sym and in_prb):
                     self.metrics["unscheduled_uplane"] += 1
+            if self.timing is not None:
+                mu = self.timing.clock.numerology
+                verdict = self.timing.rx.update(
+                    hdr.frame, hdr.subframe * (1 << mu) + hdr.slot,
+                    hdr.symbol)
+                self.metrics[f"rx_{verdict}"] += 1
             res = np.asarray(bfp_decompress(exp, mant))
             sc0 = hdr.start_prb * 12
             grid[pc_id, hdr.symbol, sc0:sc0 + res.shape[-1]] = res
