@@ -167,6 +167,38 @@ def main():
         print(f"E2 agent connected to RIC at {args.e2}")
 
     t_start = time.monotonic()
+
+    # UL indications resolve ``resolve_lag`` slots behind the launch front:
+    # PendingSlotResults holds only device arrays, so the d2h + decode of
+    # slot N happens while N+1..N+lag are already dispatched (the
+    # reference's async result notifiers + its 5-deep processing pipeline,
+    # phy_to_fapi_results_event_translator.cpp:137, du_low_config.h:40).
+    from collections import deque as _deque
+    ul_inflight = _deque()
+
+    def consume_ul(pending, ul, launch_count):
+        nonlocal crc_ok, crc_fail
+        res = pending.resolve()
+        for r in res.rach:
+            kpm["prach_detected"] += 1
+            tc = sched.handle_rach(r.preamble_index)
+            print(f"slot {launch_count}: PRACH preamble "
+                  f"{r.preamble_index} detected (metric "
+                  f"{r.metric:.1f}) -> TC-RNTI 0x{tc:04x}")
+        for c, pu, (hid, _) in zip(res.crc, ul.pusch,
+                                   ul.pusch_harq or ()):
+            crc_ok += int(c.tb_crc_ok)
+            crc_fail += int(not c.tb_crc_ok)
+            if c.tb_crc_ok:
+                kpm["ul_bits"] += pu.tbs
+            kpm["snr_db"] = float(c.snr_db)
+            if use_sched:
+                sched.handle_crc(c.rnti, hid,
+                                 bool(c.tb_crc_ok), c.snr_db)
+        kpm["ul_prb_slots"] += sum(p.rb_count for p in ul.pusch)
+        if use_sched:
+            sched.handle_uci_indications(launch_count, res.uci)
+
     for count in range(cfg.nof_slots):
         if stop_flag.is_set():
             print(f"remote quit at slot {count}")
@@ -238,33 +270,14 @@ def main():
                          tracing.l1_ul_tracer.span("ul_slot"):
                         pending = cond.process_ul(ul, ue_tx,
                                                   prach_fd=prach_fds)
-                    # Indication decode (the only d2h point) happens outside
-                    # the timed launch section; a deployment loop may defer
-                    # it several slots (PendingSlotResults holds only device
-                    # arrays) — here the scheduler consumes CRC/UCI per slot.
-                    res = pending.resolve()
-                    for r in res.rach:
-                        kpm["prach_detected"] += 1
-                        tc = sched.handle_rach(r.preamble_index)
-                        print(f"slot {count}: PRACH preamble "
-                              f"{r.preamble_index} detected (metric "
-                              f"{r.metric:.1f}) -> TC-RNTI 0x{tc:04x}")
-                    for c, pu, (hid, _) in zip(res.crc, ul.pusch,
-                                               ul.pusch_harq or ()):
-                        crc_ok += int(c.tb_crc_ok)
-                        crc_fail += int(not c.tb_crc_ok)
-                        if c.tb_crc_ok:
-                            kpm["ul_bits"] += pu.tbs
-                        kpm["snr_db"] = float(c.snr_db)
-                        if use_sched:
-                            sched.handle_crc(c.rnti, hid,
-                                             bool(c.tb_crc_ok), c.snr_db)
-                    kpm["ul_prb_slots"] += sum(p.rb_count for p in ul.pusch)
-                    if use_sched:
-                        sched.handle_uci_indications(slot.count, res.uci)
+                    ul_inflight.append((pending, ul, slot.count))
+                    while len(ul_inflight) > max(cfg.resolve_lag, 0):
+                        consume_ul(*ul_inflight.popleft())
                     ul_slots += 1
                 elif use_sched:
                     sched.handle_uci_indications(slot.count, [])
+    while ul_inflight:                 # drain deferred indications
+        consume_ul(*ul_inflight.popleft())
     elapsed = time.monotonic() - t_start
     if e2_agent is not None:
         e2_agent.stop()

@@ -589,8 +589,21 @@ class CellScheduler:
                             h.stop()
                         break
 
+    #: Bound on concurrently pending RA procedures: the reference's RACH
+    #: handler likewise caps outstanding RARs (scheduler cell config
+    #: ra_sched limits); an unbounded flood would otherwise inflate the
+    #: slot plans (one RAR PDSCH per event) without bound.
+    MAX_PENDING_RA = 16
+
     def handle_rach(self, preamble_index: int) -> int:
-        """RACH indication -> RA event + TC-RNTI (mac_rach_handler)."""
+        """RACH indication -> RA event + TC-RNTI (mac_rach_handler).
+
+        Returns 0 when the RA queue is full (event dropped + counted)."""
+        if len([e for e in self._ra_events if e.rar_pending]) \
+                >= self.MAX_PENDING_RA:
+            self.counters["ra_dropped"] = self.counters.get(
+                "ra_dropped", 0) + 1
+            return 0
         tc = self._next_tc_rnti
         self._next_tc_rnti += 1
         self._ra_events.append(RaEvent(preamble=preamble_index, tc_rnti=tc))

@@ -82,17 +82,17 @@ def modulate_slot(grid: jnp.ndarray, dft_size: int, numerology: int,
     lens, _, total = _symbol_layout(cp, numerology, dft_size, slot_in_subframe)
     nsym = symbols_per_slot(cp)
     assert grid.shape[-2] == nsym, grid.shape
-    from ..phy.support.resource_grid import PackedGrid, from_cbf16
+    from ..phy.support.resource_grid import PackedGrid, _planes_to_complex
     if isinstance(grid, PackedGrid):
         # cbf16 grid: slice/concat the bf16 planes (half the HBM read of a
         # complex64 grid) and convert at the FFT input, which materializes
-        # complex64 either way.
+        # complex64 either way.  planes layout is [2, ..., K].
         k = grid.shape[-1]
         half = k // 2
         p = grid.planes
-        zeros = jnp.zeros(p.shape[:-2] + (dft_size - k, 2), dtype=p.dtype)
-        bins = from_cbf16(jnp.concatenate(
-            [p[..., half:, :], zeros, p[..., :half, :]], axis=-2))
+        zeros = jnp.zeros(p.shape[:-1] + (dft_size - k,), dtype=p.dtype)
+        bins = _planes_to_complex(jnp.concatenate(
+            [p[..., half:], zeros, p[..., :half]], axis=-1))
     else:
         bins = _grid_to_bins(grid.astype(jnp.complex64), dft_size)
     x = jnp.fft.ifft(bins, axis=-1, norm="ortho")

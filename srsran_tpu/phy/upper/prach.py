@@ -24,8 +24,8 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from ...ran.prach_params import (LONG_FORMATS, SHORT_FORMATS, n_cs,
-                                 restricted_cyclic_shifts,
+from ...ran.prach_params import (LONG_FORMATS, PRACH_CP_KAPPA, SHORT_FORMATS,
+                                 n_cs, restricted_cyclic_shifts,
                                  root_sequence_number, zc_sequence,
                                  LONG_SEQ, SHORT_SEQ)
 
@@ -119,6 +119,19 @@ def generate(cfg: PrachConfig, preamble: int) -> jnp.ndarray:
     return jnp.asarray(fd.astype(np.complex64))
 
 
+def cp_seq_samples(cfg: PrachConfig) -> float:
+    """PRACH cyclic-prefix length in sequence-sample units (L_ra-rate).
+
+    Long formats: N_CP * kappa*Tc seconds * (L_ra * ra_scs) samples/s.
+    Short formats: the table's 2^-mu scaling cancels the 2^mu in the RA
+    SCS, leaving N_CP * L_ra / 2048 for any numerology.
+    """
+    ncp = PRACH_CP_KAPPA[cfg.format]
+    if cfg.is_long:
+        return ncp / 30_720_000 * cfg.l_ra * cfg.scs_hz
+    return ncp * cfg.l_ra / 2048.0
+
+
 @dataclasses.dataclass
 class PrachDetection:
     metrics: jnp.ndarray        # f32 [64] detection metric per preamble
@@ -180,34 +193,42 @@ def detect(rx_fd: jnp.ndarray, cfg: PrachConfig,
     buf = buf.at[..., idft_size - (l_ra - half):].set(prod[..., half:])
     delay = jnp.fft.ifft(buf, axis=-1) * np.sqrt(idft_size)
     power = jnp.sum(jnp.abs(delay) ** 2, axis=(0, 1))        # [R, idft]
-    nof_combines = rx_fd.shape[0] * rx_fd.shape[1]
-    total_per_root = jnp.sum(power, axis=-1)                 # [R]
 
-    win = max(1, (ncs * idft_size) // l_ra) if ncs else idft_size
+    # Delay search window, bounded by the PRACH cyclic prefix
+    # (prach_detector_generic_impl.cpp:135-160: win_width = min(N_cs,
+    # cp_prach), the whole CP when zeroCorrelationZone == 0).  Restricting
+    # the search to physically possible delays is what keeps cross-root ZC
+    # leakage (a chirp whose IDFT clusters at ARBITRARY delays) from firing
+    # other preambles when one strong preamble is present.
+    cp_lra = cp_seq_samples(cfg)
+    cp_bins = max(1, int(cp_lra * idft_size / l_ra))
+    ncs_bins = max(1, (ncs * idft_size) // l_ra) if ncs else idft_size
+    win = min(ncs_bins if ncs else idft_size, cp_bins, idft_size)
+    margin = min(max(4, win // 4), idft_size - win) if win < idft_size else 0
     # A cyclic shift C_v = v*ncs puts its correlation peak at delay bin
     # (N - C_v*N/L) + tau*scs*N (mod N): extend the power circularly so every
-    # shift window is a contiguous slice.
-    power2 = jnp.concatenate([power, power], axis=-1)
+    # shift window (incl. its reference margin) is a contiguous slice.
+    power3 = jnp.concatenate([power, power, power], axis=-1)
 
     metrics, tas, dets = [], [], []
-    search = max(1, int(win * 0.8)) if ncs else idft_size
+    search = max(1, int(win * 0.8))
     for p in range(cfg.nof_preambles):
         root_idx, cs = pmap[cfg.start_preamble + p]
         start = (idft_size - (cs * idft_size) // l_ra) % idft_size
-        seg = power2[root_idx, start:start + win][:search]
-        peak_idx = jnp.argmax(seg)
-        if ncs == 0 or win >= idft_size:
-            # Whole delay range is one window (zeroCorrelationZone 0):
-            # peak-to-average metric instead of window-vs-rest.
-            peak = seg[peak_idx]
-            noise_bin = (total_per_root[root_idx] - peak) / (idft_size - 1)
-            metric = peak / jnp.maximum(noise_bin, 1e-12) / 8.0
-        else:
-            wpow = jnp.sum(power2[root_idx, start:start + win])
-            noise_bin = (total_per_root[root_idx] - wpow) / (idft_size - win)
-            # metric = window energy vs expected noise energy in the window
-            # (prach_detector_generic_impl.cpp:264-299).
-            metric = wpow / jnp.maximum(noise_bin * win, 1e-12)
+        base = idft_size + start - margin
+        region = power3[root_idx, base:base + win + 2 * margin]
+        seg = region[margin:margin + win]
+        # Reference-style per-bin normalization
+        # (prach_detector_generic_impl.cpp:272-299 + vector_noise_
+        # estimation, prach_detector_generic_impl.h:76-86): the noise
+        # reference is the LOCAL window +/- margin energy minus the bin's
+        # own power — an isolated impulse (a real preamble) sees a noise
+        # denominator, a leaked chirp cluster sees its own neighbors.
+        ref = jnp.sum(region)
+        den = jnp.maximum(ref - seg, 1e-12)
+        metric_bins = (seg / den)[:search]
+        peak_idx = jnp.argmax(metric_bins)
+        metric = metric_bins[peak_idx] * win
         ta = peak_idx / (idft_size * cfg.scs_hz)
         metrics.append(metric)
         tas.append(ta)

@@ -48,6 +48,17 @@ LONG_FORMATS = {
 SHORT_FORMATS = {"A1": 2, "A2": 4, "A3": 6, "B1": 2, "B2": 4, "B3": 6,
                  "B4": 12, "C0": 1, "C2": 4}
 
+# Cyclic-prefix lengths N_CP^RA (TS38.211 Tables 6.3.3.1-1/-2, in kappa*Tc
+# units; short-format entries additionally scale by 2^-mu, which cancels
+# against the 2^mu RA SCS when converting to sequence-sample units — see
+# prach.cp_seq_samples).  The reference carries these in
+# lib/ran/prach/prach_preamble_information.cpp.
+PRACH_CP_KAPPA = {
+    "0": 3168, "1": 21024, "2": 4688, "3": 3168,
+    "A1": 288, "A2": 576, "A3": 864, "B1": 216, "B2": 360, "B3": 504,
+    "B4": 936, "C0": 1240, "C2": 2048,
+}
+
 
 @functools.lru_cache(maxsize=None)
 def _long_root_order() -> np.ndarray:

@@ -34,6 +34,10 @@ class AppConfig:
     prach_period_slots: int = 0       # sched mode: PRACH occasion period
                                       # (0 = no PRACH; occasions route through
                                       # the lower-PHY baseband collector FSM)
+    resolve_lag: int = 2              # UL slots held in flight before the
+                                      # indication d2h (PendingSlotResults);
+                                      # reference runs up to 5 slots deep
+                                      # (du_low_config.h:40)
 
 
 DEFAULT_YAML = """
@@ -92,7 +96,8 @@ def load(path: str | None = None, overrides: list | None = None) -> AppConfig:
                      channel_sinr_db=float(r.get("channel_sinr_db", 25.0)),
                      trace_file=str(r.get("trace_file", "")),
                      mac=str(r.get("mac", "test")),
-                     prach_period_slots=int(r.get("prach_period_slots", 0)))
+                     prach_period_slots=int(r.get("prach_period_slots", 0)),
+                     resolve_lag=int(r.get("resolve_lag", 2)))
 
 
 def dump(cfg: AppConfig) -> str:

@@ -354,3 +354,27 @@ def test_fr2_prach_configuration_table():
     cfg2 = prach_configuration(143, "fr2_unpaired")   # last non-reserved
     assert cfg2 is not None and cfg2["duration"] == 12
     assert prach_configuration(255, "fr2_unpaired") is None
+
+
+def test_prach_strong_preamble_no_false_alarms():
+    """One strong preamble must fire exactly one detection: cross-root ZC
+    leakage clusters at arbitrary delays, and the CP-bounded window +
+    local-reference metric (prach_detector_generic_impl.cpp:135-299) must
+    reject it (regression: the gnb_sim RACH storm, 54/64 false preambles)."""
+    import jax.numpy as jnp
+    from srsran_tpu.phy.upper import prach as prach_mod
+
+    for fmt, zcz, nsym in (("B4", 0, 12), ("0", 1, 1)):
+        cfg = prach_mod.PrachConfig(
+            format=fmt, root_sequence_index=1, zero_correlation_zone=zcz,
+            ra_scs_hz=30_000 if fmt == "B4" else 0)
+        rng = np.random.default_rng(5)
+        for q in (0, 7, 63):
+            noise = (rng.normal(size=(4, nsym, cfg.l_ra))
+                     + 1j * rng.normal(size=(4, nsym, cfg.l_ra))) / np.sqrt(2)
+            fd = np.asarray(prach_mod.generate(cfg, q))
+            rx = (31.6 * fd[None, None, :] + noise).astype(np.complex64)
+            det = prach_mod.detect(jnp.asarray(rx), cfg)
+            d = np.asarray(det.detected)
+            assert d[q], (fmt, zcz, q, float(det.metrics[q]))
+            assert d.sum() == 1, (fmt, zcz, q, np.nonzero(d)[0])

@@ -1,13 +1,14 @@
 #!/usr/bin/env python3
-"""Micro-benchmark: batched LDPC decoder variants on the bench UL shape.
+"""Micro-benchmark: the batched LDPC decoder on the bench UL shape.
 
-Compares the XLA gather-plan decoder (ops/ldpc_decode.py) against the Pallas
-VMEM-resident kernels v1/v2 (ops/ldpc_decode_pallas.py) on the flagship UL
+Times the XLA gather-plan decoder (ops/ldpc_decode.py) on the flagship UL
 workload shape (37 codeblocks, BG1, Z=384, 6 layered min-sum iterations).
-Copy-free timing (block_until_ready only), best-of-N batches — see
-CLAUDE.md tunnel gotchas.
+The two hand-scheduled Pallas kernels it used to compare against measured
+slower (44.9/54.5 vs 31.7 us — VPU-issue-bound roofline, see BASELINE.md)
+and were retired in r4.  Copy-free timing (block_until_ready only),
+best-of-N batches — see CLAUDE.md tunnel gotchas.
 
-Usage: python tools/bench_ldpc_decoder.py [--iters 30] [--tile 40]
+Usage: python tools/bench_ldpc_decoder.py [--iters 30]
 """
 
 import argparse
@@ -22,18 +23,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--batches", type=int, default=3)
-    ap.add_argument("--tile", type=int, default=40)
     ap.add_argument("--nof-cb", type=int, default=37)
     ap.add_argument("--z", type=int, default=384)
     ap.add_argument("--bg", type=int, default=1)
     ap.add_argument("--layers", type=int, default=13)
-    ap.add_argument("--only", choices=["xla", "v1", "v2"], default=None)
     args = ap.parse_args()
 
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from srsran_tpu.ops import ldpc_encode, ldpc_decode, ldpc_decode_pallas
+    from srsran_tpu.ops import ldpc_encode, ldpc_decode
 
     rng = np.random.default_rng(0)
     k_cols = 22 if args.bg == 1 else 10
@@ -50,13 +49,7 @@ def main():
 
     variants = {
         "xla": lambda v: ldpc_decode.decode(v, args.bg, args.z, args.layers),
-        "v1": lambda v: ldpc_decode_pallas.decode(
-            v, args.bg, args.z, args.layers, 6, 0.8, args.tile, False, 1),
-        "v2": lambda v: ldpc_decode_pallas.decode(
-            v, args.bg, args.z, args.layers, 6, 0.8, args.tile, False, 2),
     }
-    if args.only:
-        variants = {args.only: variants[args.only]}
 
     results = []
     for name, fn in variants.items():
