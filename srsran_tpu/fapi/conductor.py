@@ -49,6 +49,14 @@ def _norm(cfg, **zero_fields):
     return dataclasses.replace(cfg, **zero_fields)
 
 
+@functools.lru_cache(maxsize=64)
+def _k_dev(k: int):
+    """Staged-slot index as a pre-uploaded device scalar: passing a python
+    int to the jitted slot program costs one tiny H2D per call on the
+    tunnelled backend; the index values cycle, so cache the uploads."""
+    return jnp.asarray(k, dtype=jnp.int32)
+
+
 # Slot-context device arrays are tiny and keyed by hashable frozen configs;
 # caching the upload avoids one H2D transfer per PDU per slot (slot indices
 # cycle, so the cache is bounded).
@@ -551,7 +559,9 @@ class SlotConductor:
                     f"slot payload blob {layout[1]} B exceeds stride {stride}")
             buf[k * stride:k * stride + layout[1]] = \
                 pack_payload_blob(layout, payloads)
-        return StagedPayloads(buf=jnp.asarray(buf), stride=stride,
+        # device_put is an ASYNC enqueue (jnp.asarray may sync): the launch
+        # loop keeps running while the payload blob rides the wire.
+        return StagedPayloads(buf=jax.device_put(buf), stride=stride,
                               depth=len(entries))
 
     def process_slot(self, dl_tti: DlTtiRequest, ul_tti: UlTtiRequest,
@@ -593,7 +603,7 @@ class SlotConductor:
             for c, shape, (hid, new) in zip(ul_tti.pusch, phase.soft_shapes,
                                             harq_meta))
         tx_samples, scalars, payload, new_softs = phase.fn(
-            staged.buf, k, rx_samples, tuple(prach_fd), softs,
+            staged.buf, _k_dev(k), rx_samples, tuple(prach_fd), softs,
             phase.dl_ctx, phase.ul_ctx)
         return tx_samples, PendingSlotResults(
             ul_tti=ul_tti, harq_meta=harq_meta, scalars=scalars,

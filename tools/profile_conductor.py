@@ -128,8 +128,12 @@ def main():
         print(f"  {name:35s} {(time.perf_counter()-t0)/N*1e6:8.1f} us")
 
     bench_stage("build requests", lambda i: (dl_request(i), ul_request(i)))
+    bits_txs = [TxDataRequest(slot=r.slot,
+                              pdsch_payloads=(np.unpackbits(pdsch_pl)[:tbs],),
+                              pdcch_payloads=(np.unpackbits(dci_pl)[:60],))
+                for r in reqs]
     bench_stage("validate_dl+tx+ul", lambda i: (
-        validate_dl_tti(reqs[i], cell), validate_tx_data(txs[i], reqs[i]),
+        validate_dl_tti(reqs[i], cell), validate_tx_data(bits_txs[i], reqs[i]),
         validate_ul_tti(ulreqs[i], cell)))
     bench_stage("normalize_dl_plan", lambda i: cmod.normalize_dl_plan(reqs[i]))
     bench_stage("normalize_ul_plan", lambda i: cmod.normalize_ul_plan(ulreqs[i]))
@@ -146,8 +150,8 @@ def main():
         jnp.asarray(np.asarray(dci_pl, dtype=np.int8))))
 
     fn = dl_slot_fn_samples(cell, plans[0][0], 0)
-    dci_d = jnp.asarray(dci_pl)
-    sch_d = jnp.asarray(pdsch_pl)
+    dci_d = jnp.asarray(np.unpackbits(dci_pl)[:60].astype(np.int8))
+    sch_d = jnp.asarray(np.unpackbits(pdsch_pl)[:tbs].astype(np.int8))
     bench_stage("dl jit dispatch (device args)", lambda i: fn(
         (), (dci_d,), (sch_d,), plans[0][1]))
     ulfn = cmod._packed_ul_fn(cell, ulplans[0][0], 0)
