@@ -49,6 +49,46 @@ class _Endpoint:
         return self._rx.popleft() if self._rx else None
 
 
+class SocketEndpoint:
+    """Frame pipe over a stream socket: 4-byte big-endian length prefix per
+    eth frame (the two-process deployment cable; the reference's OFH runs
+    over raw eth/DPDK, which this container cannot open — the frame bytes
+    are identical)."""
+
+    def __init__(self, sock):
+        import socket as _socket
+        self._sock = sock
+        self._sock.setblocking(False)
+        self._buf = b""
+        self._socket = _socket
+
+    def send(self, frame: bytes):
+        import struct
+        self._sock.setblocking(True)
+        try:
+            self._sock.sendall(struct.pack(">I", len(frame)) + frame)
+        finally:
+            self._sock.setblocking(False)
+
+    def recv(self):
+        import struct
+        try:
+            while True:
+                chunk = self._sock.recv(65536)
+                if not chunk:
+                    break
+                self._buf += chunk
+        except (BlockingIOError, InterruptedError):
+            pass
+        if len(self._buf) < 4:
+            return None
+        (n,) = struct.unpack(">I", self._buf[:4])
+        if len(self._buf) < 4 + n:
+            return None
+        frame, self._buf = self._buf[4:4 + n], self._buf[4 + n:]
+        return frame
+
+
 class RuOfh:
     """DU-side OFH radio unit (grid plane).
 

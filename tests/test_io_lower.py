@@ -99,7 +99,9 @@ def test_prach_demod_to_detector():
     got = prach_demod.demodulate(jnp.asarray(samples), "0", fs, 5000,
                                  first_bin * 1250.0)
     assert got.shape == (1, 1, 839)
-    det = prach_up.detect(jnp.asarray(got), cfg, threshold=2.0)
+    # calibrated threshold (the old hard-coded 2.0 belonged to the pre-r4
+    # peak/mean metric scale; the local-reference metric recalibrated)
+    det = prach_up.detect(jnp.asarray(got), cfg)
     d = np.asarray(det.detected)
     assert d[3] and d.sum() == 1, np.asarray(det.metrics)[:8]
 
