@@ -133,6 +133,11 @@ def worker(pid: int, nprocs: int, nof_slots: int, out_path: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--pin", action="store_true",
+                    help="pin each worker to its own CPU core (taskset) so "
+                         "cores-per-process stays constant across the 1-proc "
+                         "and N-proc runs — the fair weak-scaling protocol "
+                         "on a single shared host")
     ap.add_argument("--slots", type=int, default=20)
     ap.add_argument("--worker", type=int, default=-1)
     ap.add_argument("--nprocs", type=int, default=1)
@@ -147,9 +152,11 @@ def main():
     for nprocs in (1, args.procs):
         out = f"/tmp/mh_result_{nprocs}.json"
         procs = [subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(p),
-             "--nprocs", str(nprocs), "--slots", str(args.slots),
-             "--out", out], env=env) for p in range(nprocs)]
+            ((["taskset", "-c", str(p % (os.cpu_count() or 1))]
+              if args.pin else [])
+             + [sys.executable, os.path.abspath(__file__), "--worker",
+                str(p), "--nprocs", str(nprocs), "--slots", str(args.slots),
+                "--out", out]), env=env) for p in range(nprocs)]
         rcs = [p.wait(timeout=900) for p in procs]
         assert rcs == [0] * nprocs, rcs
         results[nprocs] = json.load(open(out))
@@ -161,10 +168,14 @@ def main():
         "cells_per_s": {str(k): v["cells_per_s"] for k, v in results.items()},
         "weak_scaling_efficiency": round(eff, 3),
         "target": 0.8,
-        "caveat": "single machine with 2 physical cores: all processes "
-                  "share the cores one process had alone, so this bounds "
-                  "the DCN/harness overhead from below; on real multi-host "
-                  "TPUs each process adds its own chips",
+        "pinned": args.pin,
+        "caveat": ("each process pinned to its own core: cores-per-process "
+                   "constant, efficiency measures DCN/framework overhead"
+                   if args.pin else
+                   "single machine with 2 physical cores: all processes "
+                   "share the cores one process had alone, so this bounds "
+                   "the DCN/harness overhead from below; on real multi-host "
+                   "TPUs each process adds its own chips"),
         "per_run": results,
     }
     path = os.path.join(REPO, "MULTIHOST_SCALING.json")
