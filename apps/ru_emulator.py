@@ -48,14 +48,15 @@ def run(endpoint, nof_ports: int, nof_prb: int, nof_slots: int,
             pending.append((slot_count + loopback_delay, grid))
             served += 1
             idle_since = time.monotonic()
-        # transmit any due loopback grids as UL U-plane, stamped for the
-        # next transmittable OTA slot (inside the TX window: the checker
-        # requires `advance` symbols of lead over the OTA clock)
+        # transmit any due loopback grids as UL U-plane, stamped with the
+        # OTA slot the samples belong to (now): UL messages are judged by
+        # the DU's Ta4 RX window, not the T1a TX window (send_dl_grid only
+        # gates direction=1), so an on-time RU stamps "now" and the DU's
+        # RxWindowChecker classifies it within [Ta4_min, Ta4_max].
         for due, g in [p for p in pending]:
             if due <= slot_count:
                 ota = timing.clock.now()
-                lead_slots = timing.tx.advance // ota.nof_symbols + 2
-                tgt = ota.count // ota.nof_symbols + lead_slots
+                tgt = ota.count // ota.nof_symbols
                 spf = 10 * (1 << numerology)
                 sif = tgt % spf
                 ru.send_dl_grid(jnp.asarray(g),

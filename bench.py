@@ -316,7 +316,12 @@ def _run(result, errors, stage):
         # MAC runs ahead of the PHY (max_processing_delay_slots=5 in the
         # reference, du_low_config.h:40): stage DEPTH slots' payloads per
         # H2D transfer, amortizing the tunnel's fixed transfer latency.
-        depth = int(os.environ.get("BENCH_STAGE_DEPTH", "4"))
+        depth = int(os.environ.get("BENCH_STAGE_DEPTH", "8"))
+        # depth > nof_slots would make n_groups = 0 (nothing timed, then a
+        # divide-by-zero); clamp and time ceil(nof_slots/depth) groups so
+        # at least nof_slots slots are measured (actual count reported).
+        depth = max(1, min(depth, nof_slots))
+        result["conductor_stage_depth"] = depth
         warm = []
         for i in range(0, n_phases, depth):
             # staging depth matches the timed loop exactly (a different
@@ -331,7 +336,7 @@ def _run(result, errors, stage):
         def batch(_):
             t0 = time.time()
             keep = []
-            n_groups = nof_slots // depth
+            n_groups = -(-nof_slots // depth)        # ceil: >= 1
             for j in range(n_groups):
                 grp = [(depth * j + d) % n_phases for d in range(depth)]
                 st = cond.stage_payloads(

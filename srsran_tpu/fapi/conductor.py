@@ -42,6 +42,7 @@ from .messages import (DlTtiRequest, TxDataRequest, UlTtiRequest, UlDciRequest,
                        SlotResults, CrcIndicationPdu, RxDataIndicationPdu,
                        UciIndicationPdu, RachIndicationPreamble,
                        SrsIndicationPdu)
+from ..utils import sanitize
 
 
 def _norm(cfg, **zero_fields):
@@ -201,6 +202,10 @@ class PendingSlotResults:
         return self
 
     def resolve(self) -> SlotResults:
+        # Resolve is the conductor's host sync point: surface any queued
+        # checkify sanitizer errors here (utils/sanitize.py deferred-report
+        # design) so SRSRAN_TPU_SANITIZE=1 actually reports in production.
+        sanitize.drain()
         return self.conductor._decode(self)
 
 

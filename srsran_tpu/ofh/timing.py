@@ -209,7 +209,11 @@ class OtaClock:
             if gap <= 0:
                 return []
             gap = min(gap, self.nof_symbols * 10 * (1 << self.numerology))
-            new = [SlotSymbolPoint(self.numerology, self._last + i,
+            # Notify the most recent `gap` symbols ENDING at now: after a
+            # stall longer than the one-frame catch-up cap, notifying the
+            # oldest symbols would leave subscribers' OTA view stale until
+            # the next poll (wrongly accepting late DL grids).
+            new = [SlotSymbolPoint(self.numerology, cur.count - gap + i,
                                    self.nof_symbols)
                    for i in range(1, gap + 1)]
         self._last = cur.count

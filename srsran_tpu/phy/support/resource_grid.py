@@ -27,15 +27,36 @@ def from_cbf16(packed: jnp.ndarray) -> jnp.ndarray:
     return (r + 1j * i).astype(jnp.complex64)
 
 
+def _is_advanced_index(x) -> bool:
+    """True for advanced (array) index elements; slices/Ellipsis/None/ints
+    are basic."""
+    if isinstance(x, (slice, type(Ellipsis), type(None), int)):
+        return False
+    return True        # ndarray / jnp array / list / anything array-like
+
+
 def _norm_index(idx):
     """Prepend a full slice for the LEADING plane axis so channel-processor
     indices written against a complex [..., K] grid address the packed
     [2, ..., K] planes unchanged.  The plane axis leads (not trails)
     because the last axis must stay the subcarrier axis: a trailing
     size-2 axis lands in the TPU lane dimension and destroys tiling
-    (measured 2x UL slowdown on the flagship cell)."""
+    (measured 2x UL slowdown on the flagship cell).
+
+    Advanced indices separated by a slice are rejected: NumPy/JAX move the
+    broadcast dims of such an index to the FRONT of the result — ahead of
+    the prepended plane axis — so _planes_to_complex would split real/imag
+    along a data axis and silently return garbage.  Raising turns that
+    silent-corruption hazard into an error (all channel processors use
+    adjacent advanced indices)."""
     if not isinstance(idx, tuple):
         idx = (idx,)
+    adv = [i for i, x in enumerate(idx) if _is_advanced_index(x)]
+    if adv and adv[-1] - adv[0] + 1 != len(adv):
+        raise IndexError(
+            "PackedGrid does not support advanced indices separated by "
+            "slices (broadcast dims would move ahead of the plane axis); "
+            f"got advanced indices at positions {adv}")
     return (slice(None),) + idx
 
 

@@ -150,7 +150,11 @@ class RuOfh:
         Returns False (and transmits nothing) when the grid misses its
         transmission window (ofh_downlink_handler_impl.cpp:78-86).
         """
-        if self.timing is not None:
+        # The T1a TX window gates DOWNLINK only (the reference's
+        # tx_window_checker sits in ofh_downlink_handler_impl); UL U-plane
+        # (direction=0, e.g. the RU emulator's loopback) is judged by the
+        # receiver's Ta4 window instead.
+        if self.timing is not None and direction == 1:
             self.timing.poll()
             mu = self.timing.clock.numerology
             slot_in_frame = subframe * (1 << mu) + slot
