@@ -38,6 +38,7 @@ from ..phy.upper import csi_rs as csi_rs_mod
 from ..phy.upper import ptrs_prs as ptrs_prs_mod
 from ..phy.upper import dmrs as dmrs_mod
 from ..ran.ldpc_params import segment_tb, select_base_graph
+from ..ran import precoding_codebooks
 from .messages import (DlTtiRequest, TxDataRequest, UlTtiRequest, UlDciRequest,
                        SlotResults, CrcIndicationPdu, RxDataIndicationPdu,
                        UciIndicationPdu, RachIndicationPreamble,
@@ -73,6 +74,16 @@ def _dev(kind: str, cfg) -> tuple:
         return jnp.asarray(pdcch_mod.dmrs_values_for(cfg))
     if kind == "pdsch":
         return jnp.asarray(dmrs_mod.pilot_values_for(pdsch_mod.dmrs_config(cfg)))
+    if kind == "pm":
+        # Per-PRG precoding matrices resolved through the codebook
+        # repository (precoding_matrix_repository.cpp analogue): PM indices
+        # enter via slot CONTEXT, not the jit key — a PMI change costs one
+        # cached upload, never a recompile.  cfg = (nof_ports, PrecodingConfig).
+        nof_ports, pre = cfg
+        if pre is None:
+            return None
+        return jnp.asarray(precoding_codebooks.resolve_matrices(
+            nof_ports, pre))
     if kind == "ptrs":
         if cfg.ptrs is None:
             return None
@@ -102,25 +113,43 @@ def _dev(kind: str, cfg) -> tuple:
     raise KeyError(kind)
 
 
+def _norm_pdsch(c):
+    """PDSCH jit-key normalization: clear the slot index AND the per-PRG
+    PM indices (keep the PRG structure — prg_size and count shape the
+    compiled index plan; the matrix VALUES are traced context)."""
+    pre = c.precoding
+    if pre is not None:
+        pre = dataclasses.replace(
+            pre, pm_indices=(0,) * len(pre.pm_indices))
+    return _norm(c, slot_in_frame=0, precoding=pre)
+
+
 def normalize_dl_plan(dl: DlTtiRequest, extra_pdcch: tuple = (),
-                      ):
+                      nof_ports: int | None = None):
     """Slot-invariant plan key + the slot context arrays for this slot.
 
     extra_pdcch: PDCCH PDUs from a ul_dci_request for the same slot — the
     reference routes both through the same PDCCH processor
     (fapi_to_phy_translator.cpp:629).
+    nof_ports: cell TX ports, needed to resolve PDSCH precoding PM indices
+    through the codebook repository (required when any PDU sets precoding).
     """
     pdcch_all = dl.pdcch + tuple(extra_pdcch)
     ssb_n = tuple(_norm(c, sfn=0, hrf=False) for c in dl.ssb)
     pdcch_n = tuple(_norm(c, slot_in_frame=0) for c in pdcch_all)
-    pdsch_n = tuple(_norm(c, slot_in_frame=0) for c in dl.pdsch)
+    pdsch_n = tuple(_norm_pdsch(c) for c in dl.pdsch)
     csi_n = tuple(_norm(c, slot_in_frame=0) for c in dl.csi_rs)
     prs_n = tuple(_norm(c, slot_in_frame=0) for c in dl.prs)
+    if nof_ports is None and any(c.precoding is not None for c in dl.pdsch):
+        raise ValueError(
+            "normalize_dl_plan needs nof_ports to resolve PDSCH precoding")
     ctx = {
         "ssb": tuple(_dev("ssb", c) for c in dl.ssb),
         "pdcch": tuple(_dev("pdcch", c) for c in pdcch_all),
         "pdsch": tuple(_dev("pdsch", c) for c in dl.pdsch),
         "ptrs": tuple(_dev("ptrs", c) for c in dl.pdsch),
+        "pm": tuple(_dev("pm", (nof_ports, c.precoding))
+                    for c in dl.pdsch),
         "csi": tuple(_dev("csi", c) for c in dl.csi_rs),
         "prs": tuple(_dev("prs", c) for c in dl.prs),
     }
@@ -463,7 +492,8 @@ class SlotConductor:
             if ul_dci is not None:
                 validate_ul_dci(ul_dci, self.cell)
         extra = ul_dci.pdcch if ul_dci is not None else ()
-        plan, ctx = normalize_dl_plan(dl_tti, extra)
+        plan, ctx = normalize_dl_plan(dl_tti, extra,
+                                      self.cell.nof_ports)
         fn = _packed_dl_fn(self.cell, plan, slot_in_sf, return_grid)
         layout = _dl_payload_layout(
             (dl_tti.ssb, dl_tti.pdcch + tuple(extra), dl_tti.pdsch, (), ()),
@@ -590,7 +620,8 @@ class SlotConductor:
                                               False)
             ul_phase = self._resolve_ul_phase(ul_tti, slot_in_sf)
             extra = ul_dci.pdcch if ul_dci is not None else ()
-            dl_plan, _ = normalize_dl_plan(dl_tti, extra)
+            dl_plan, _ = normalize_dl_plan(dl_tti, extra,
+                                           self.cell.nof_ports)
             ul_plan, _ = normalize_ul_plan(ul_tti)
             fn = _packed_slot_fn(self.cell, dl_plan, ul_plan, slot_in_sf,
                                  staged.stride)

@@ -67,6 +67,22 @@ def validate_dl_tti(dl: DlTtiRequest, cell: CellConfig):
         g = nof_data_re(p) * BITS_PER_SYMBOL[p.modulation] * p.nof_layers
         _check(p.tbs + 24 <= g,
                f"pdsch: TBS {p.tbs} exceeds capacity {g} bits")
+        if p.precoding is not None:
+            from ..ran import precoding_codebooks as pc
+            pre = p.precoding
+            _check(pre.prg_size >= 1, "pdsch: precoding prg_size >= 1")
+            want = pc.nof_prgs(p.rb_start, p.rb_count, pre.prg_size)
+            _check(len(pre.pm_indices) == want,
+                   f"pdsch: precoding has {len(pre.pm_indices)} PM indices, "
+                   f"allocation spans {want} PRGs")
+            try:
+                mats = pc.resolve_matrices(cell.nof_ports, pre)
+            except (IndexError, ValueError) as e:
+                _check(False, f"pdsch: precoding {e}")
+            else:
+                _check(mats.shape[2] == p.nof_layers,
+                       f"pdsch: precoding matrices map {mats.shape[2]} "
+                       f"layers, PDU has {p.nof_layers}")
     for c in dl.csi_rs:
         _check(1 <= c.row <= 18, "csi_rs: row must be 1..18 "
                "(Table 7.4.1.5.3-1; the reference caps at 12)")

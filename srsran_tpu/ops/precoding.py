@@ -35,6 +35,20 @@ def precode(layers: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("pl,...ls->...ps", matrix.astype(layers.dtype), layers)
 
 
+def precode_prg(layers: jnp.ndarray, matrices: jnp.ndarray,
+                prg_of_re: jnp.ndarray) -> jnp.ndarray:
+    """Per-PRG precoding (SURVEY §8.8 "per-PRG einsum"): the reference
+    applies a layers x ports matrix per precoding RB group while mapping
+    (resource_grid_mapper_impl.cpp:30-120); here the host-precomputed
+    per-RE PRG index turns it into ONE gather + ONE batched einsum.
+
+    layers [..., L, S], matrices [G, P, L] (traced — PMI changes do not
+    recompile), prg_of_re int32 [S] -> [..., P, S].
+    """
+    w = matrices.astype(layers.dtype)[prg_of_re]          # [S, P, L]
+    return jnp.einsum("spl,...ls->...ps", w, layers)
+
+
 def identity_precoder(nof_ports: int, nof_layers: int) -> np.ndarray:
     """Reference default when no codebook is given: scaled port-mapping."""
     m = np.zeros((nof_ports, nof_layers), dtype=np.complex64)

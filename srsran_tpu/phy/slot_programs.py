@@ -94,9 +94,10 @@ def dl_slot_core(cell: CellConfig, plan, slot_in_subframe: int = 0):
         for i, (cfg, bits) in enumerate(zip(pdsch_cfgs, pdsch_payloads)):
             ci = ctx["pdsch"][i] if ctx else None
             pci = ctx.get("ptrs", (None,) * len(pdsch_cfgs))[i] if ctx else None
+            pm = ctx.get("pm", (None,) * len(pdsch_cfgs))[i] if ctx else None
             with jax.named_scope("pdsch"):
                 grid = pdsch_mod.process(grid, bits, cfg, dmrs_cinits=ci,
-                                         ptrs_cinits=pci)
+                                         ptrs_cinits=pci, pm_matrices=pm)
         for i, cfg in enumerate(csi_cfgs):
             ci = ctx["csi"][i] if ctx else None
             with jax.named_scope("csi_rs"):

@@ -164,21 +164,33 @@ def pilots_for_port(cfg: DmrsConfig, port: int, c_inits=None) -> jnp.ndarray:
 
 def map_to_grid(grid: jnp.ndarray, cfg: DmrsConfig,
                 precoding: np.ndarray | None = None,
-                c_inits=None) -> jnp.ndarray:
+                c_inits=None, prg_matrices=None,
+                prg_of_sc=None) -> jnp.ndarray:
     """Scatter DM-RS for all ports into a [P, nsym, nsc] grid.
 
     With ``precoding`` [P, L] the per-layer (== per-DMRS-port) pilots are
     precoded like data, as the reference's mapper does while writing.
+    With ``prg_matrices`` [G, P, L] (traced) + ``prg_of_sc`` (host fn:
+    subcarrier indices -> PRG index) each pilot is precoded with its PRG's
+    matrix — UE channel estimation then sees the same effective channel
+    H @ W_g as the data (per-PRG precode-while-mapping,
+    resource_grid_mapper_impl.cpp:30-120).
     """
     for li, dmrs_port in enumerate(cfg.ports):
         if cfg.config_type == 1:
             delta = TYPE1_PORT_CONFIG[dmrs_port][0]
-            sc = jnp.asarray(_type1_sc_indices(cfg.rb_start, cfg.rb_count, delta))
+            sc_h = _type1_sc_indices(cfg.rb_start, cfg.rb_count, delta)
         else:
             group = TYPE2_PORT_CONFIG[dmrs_port][0]
-            sc = jnp.asarray(type2_sc_indices(cfg.rb_start, cfg.rb_count, group))
+            sc_h = type2_sc_indices(cfg.rb_start, cfg.rb_count, group)
+        sc = jnp.asarray(sc_h)
         pilots = pilots_for_port(cfg, dmrs_port, c_inits)      # [S, K]
-        if precoding is None:
+        if prg_matrices is not None:
+            prg = jnp.asarray(prg_of_sc(sc_h))                  # [K]
+            w = prg_matrices.astype(grid.dtype)[prg][:, :, li]  # [K, P]
+            for si, l in enumerate(cfg.symbols):
+                grid = grid.at[:, l, sc].add(w.T * pilots[si][None, :])
+        elif precoding is None:
             for si, l in enumerate(cfg.symbols):
                 grid = grid.at[li, l, sc].add(pilots[si])
         else:

@@ -26,8 +26,11 @@ from ...ops import ldpc_encode, ldpc_rate_match
 from ...ops.crc import crc
 from ...ops.modulation import modulate, BITS_PER_SYMBOL
 from ...ops.scrambling import scramble_bits
-from ...ops.precoding import layer_map, precode, identity_precoder
+from ...ops.precoding import (layer_map, precode, precode_prg,
+                              identity_precoder)
 from ...ran.ldpc_params import segment_tb, select_base_graph
+from ...ran.precoding_codebooks import (PrecodingConfig, nof_prgs,
+                                        resolve_matrices)
 from .dmrs import DmrsConfig, map_to_grid as map_dmrs, TYPE1_PORT_CONFIG
 
 
@@ -65,6 +68,11 @@ class PdschConfig:
     numerology: int = 0
     reserved_cdm_groups: int = 2  # DM-RS CDM groups without data (1 or 2)
     ptrs: PdschPtrs | None = None  # PT-RS on, with these params
+    # FAPI txPrecodingAndBeamforming: per-PRG codebook matrices resolved
+    # through ran/precoding_codebooks (the reference's precoding_matrix_
+    # mapper path, lib/fapi_adaptor/precoding_matrix_mapper.cpp).  None =
+    # identity port mapping (existing plans unchanged).
+    precoding: PrecodingConfig | None = None
 
 
 @functools.lru_cache(maxsize=None)
@@ -151,6 +159,13 @@ def encode_transport_block(payload_bits: jnp.ndarray, cfg: PdschConfig):
     return codeword, seg
 
 
+def prg_index_of_sc(sc: np.ndarray, rb_start: int, prg_size: int
+                    ) -> np.ndarray:
+    """Per-subcarrier PRG index (into the PDU's pm_indices), PRG boundaries
+    aligned to CRB 0 (TS38.214 §5.1.2.3)."""
+    return (sc // 12 // prg_size - rb_start // prg_size).astype(np.int32)
+
+
 def dmrs_config(cfg: PdschConfig) -> DmrsConfig:
     return DmrsConfig(
         rb_start=cfg.rb_start, rb_count=cfg.rb_count, symbols=cfg.dmrs_symbols,
@@ -161,14 +176,22 @@ def dmrs_config(cfg: PdschConfig) -> DmrsConfig:
 
 def process(grid: jnp.ndarray, payload_bits: jnp.ndarray, cfg: PdschConfig,
             precoding: np.ndarray | None = None,
-            dmrs_cinits=None, ptrs_cinits=None) -> jnp.ndarray:
+            dmrs_cinits=None, ptrs_cinits=None,
+            pm_matrices=None) -> jnp.ndarray:
     """Run the full PDSCH chain into a [P, nsym, nsc] resource grid.
 
     dmrs_cinits: optional traced uint32 [nof_dmrs_symbols] so the compiled
     program is slot-independent (see dmrs.c_inits_for).
+    pm_matrices: traced per-PRG [G, P, L] matrices when cfg.precoding is
+    set (the conductor resolves PM indices through the codebook repository
+    and uploads them as slot context — PMI changes never recompile).
     """
     nof_ports = grid.shape[0]
-    if precoding is None:
+    if cfg.precoding is not None:
+        if pm_matrices is None:         # direct (non-conductor) callers
+            pm_matrices = jnp.asarray(
+                resolve_matrices(nof_ports, cfg.precoding))
+    elif precoding is None:
         precoding = identity_precoder(nof_ports, cfg.nof_layers)
     with jax.named_scope("sch_encode"):
         codeword, _ = encode_transport_block(payload_bits, cfg)
@@ -178,17 +201,29 @@ def process(grid: jnp.ndarray, payload_bits: jnp.ndarray, cfg: PdschConfig,
     with jax.named_scope("modulate"):
         symbols = modulate(scrambled, cfg.modulation)               # [1, S]
     layers = layer_map(symbols[0], cfg.nof_layers)                  # [L, S/L]
-    with jax.named_scope("precode"):
-        ports = precode(layers, jnp.asarray(precoding))             # [P, S/L]
     plan = _data_re_plan(cfg.rb_start, cfg.rb_count, cfg.first_symbol,
                          cfg.nof_symbols, cfg.dmrs_symbols,
                          cfg.reserved_cdm_groups, cfg.ptrs)
     sym_idx = jnp.asarray(plan[:, 0])
     sc_idx = jnp.asarray(plan[:, 1])
+    with jax.named_scope("precode"):
+        if cfg.precoding is not None:
+            prg = prg_index_of_sc(plan[:, 1], cfg.rb_start,
+                                  cfg.precoding.prg_size)
+            ports = precode_prg(layers, pm_matrices,
+                                jnp.asarray(prg))       # [P, S/L]
+        else:
+            ports = precode(layers, jnp.asarray(precoding))  # [P, S/L]
     with jax.named_scope("map_to_grid"):
         grid = grid.at[:, sym_idx, sc_idx].add(ports)
     with jax.named_scope("dmrs"):
-        grid = map_dmrs(grid, dmrs_config(cfg), precoding, dmrs_cinits)
+        if cfg.precoding is not None:
+            grid = map_dmrs(grid, dmrs_config(cfg), None, dmrs_cinits,
+                            prg_matrices=pm_matrices,
+                            prg_of_sc=lambda sc: prg_index_of_sc(
+                                sc, cfg.rb_start, cfg.precoding.prg_size))
+        else:
+            grid = map_dmrs(grid, dmrs_config(cfg), precoding, dmrs_cinits)
     if cfg.ptrs is not None:
         from .ptrs_prs import PtrsConfig, map_ptrs
         with jax.named_scope("ptrs"):
