@@ -94,7 +94,8 @@ def main():
                                nof_layers_ul=u.nof_layers_ul)
                  for u in cfg.ues],
             tdd=cfg.tdd, seed=cfg.seed, prach=prach_cfg,
-            prach_period_slots=max(cfg.prach_period_slots, 1))
+            prach_period_slots=max(cfg.prach_period_slots, 1),
+            csi_period_slots=cfg.csi_period_slots)
         mac = None
     else:
         mac = TestModeMac(cfg.cell, cfg.phys_cell_id, cfg.ues, cfg.tdd,
@@ -415,13 +416,31 @@ def _emulate_ue(cond, mac, ul, cfg, sched=None):
     slot_in_sf = ul.slot.subframe_slot_index
     fn = dl_slot_fn(ue_cell, plan, slot_in_sf)
     samples, grid = fn((), (), tuple(payloads), ctx)
-    if sched is not None and ul.pucch_f1:
-        # UE transmits ACKs on its PUCCH F1 occasions (bit 0 = ACK).
+    if sched is not None and (ul.pucch_f1 or ul.pucch_f2):
+        # UE transmits ACKs on its PUCCH F1 occasions (bit 0 = ACK) and
+        # packed wideband CSI reports on its F2 occasions, closing the DL
+        # HARQ and link-adaptation loops.
         from srsran_tpu.phy.upper import pucch as pucch_mod
         from srsran_tpu.ops import ofdm as ofdm_mod
+        from srsran_tpu.ran import csi_report as csi_mod
         for fc in ul.pucch_f1:
             grid = pucch_mod.transmit_format1(
                 grid, fc, [0] * max(fc.nof_harq_bits, 1))
+        for fc in ul.pucch_f2:
+            # UE-side CSI: CQI from the emulated channel SINR, rank from
+            # its configured DL layers, a deterministic per-UE beam PMI.
+            sinr = (cfg.channel_sinr_db if cfg.channel_profile != "none"
+                    else 30.0)
+            cqi = int(np.clip((sinr + 6.0) / 1.9, 1, 15))
+            uec = sched.ues.get(fc.rnti)
+            ranks = sched.csi_cfg.allowed_ranks()
+            want_ri = uec.cfg.nof_layers_dl if uec is not None else 1
+            ri = max(r for r in ranks if r <= max(want_ri, ranks[0]))
+            data = csi_mod.CsiReportData(
+                ri=ri, wideband_cqi=cqi, i_1_1=fc.rnti % 8,
+                i_2=fc.rnti % 2)
+            bits = csi_mod.pack_pucch(data, sched.csi_cfg)
+            grid = pucch_mod.transmit_format2(grid, fc, bits)
         samples = ofdm_mod.modulate_slot(
             grid, cfg.cell.dft_size, cfg.cell.numerology,
             slot_in_subframe=slot_in_sf,

@@ -33,12 +33,15 @@ import numpy as np
 from ..ran.slot_point import SlotPoint
 from ..ran.tdd import TddPattern
 from ..ran.mcs_tbs import mcs_config, tbs as tbs_calc, TABLES
+from ..ran import csi_report as csi_mod
+from ..ran.precoding_codebooks import (PrecodingConfig, pmi_to_index,
+                                       nof_prgs)
 from ..phy.slot_programs import CellConfig
 from ..phy.upper.ssb import SsbConfig
 from ..phy.upper.pdsch import PdschConfig
 from ..phy.upper.pdcch import PdcchConfig, CoresetConfig
 from ..phy.upper.pusch import PuschConfig
-from ..phy.upper.pucch import PucchF1Config
+from ..phy.upper.pucch import PucchF1Config, PucchF2Config
 from ..phy.upper.prach import PrachConfig
 from ..fapi.messages import DlTtiRequest, TxDataRequest, UlTtiRequest
 
@@ -104,6 +107,11 @@ class UeContext:
         self.ul_buffer = cfg.ul_buffer_bytes
         self.last_ul_snr_db: float | None = None
         self.ul_mcs = cfg.ul_mcs
+        # DL link adaptation state, driven by CSI reports (handle_csi):
+        # starts at the configured values, adapts once the UE reports.
+        self.dl_mcs = cfg.dl_mcs
+        self.dl_layers = cfg.nof_layers_dl
+        self.last_csi: "csi_mod.CsiReportData | None" = None
         # EWMA delivered rate (bits/slot) for the time-QoS PF metric
         self.avg_rate_dl = 1.0
         self.avg_rate_ul = 1.0
@@ -191,7 +199,8 @@ class CellScheduler:
                  ssb_period_ms: int = 20, sib1_period_ms: int = 160,
                  prach_period_slots: int = 40, max_harq_retx: int = 4,
                  link_adaptation: bool = True, seed: int = 0,
-                 policy: str = "time_rr"):
+                 policy: str = "time_rr", csi_period_slots: int = 0,
+                 dl_prg_size: int = 4):
         self.cell = cell
         self.pci = phys_cell_id
         self.tdd = tdd or TddPattern()
@@ -212,6 +221,16 @@ class CellScheduler:
         self._rr_ul = 0
         self._ra_events: list[RaEvent] = []
         self._pucch_owners: dict[int, list[int]] = {}
+        # CSI reporting (uci_scheduler analogue): every csi_period_slots a
+        # PUCCH F2 occasion per UE carries a packed wideband CSI report
+        # (CRI/RI/PMI/CQI, ran/csi_report); 0 disables.  The codebook
+        # follows the cell's port count.
+        self.csi_period_slots = csi_period_slots
+        self.dl_prg_size = dl_prg_size
+        cb = {1: "one", 2: "two", 4: "typeI_4ports"}.get(cell.nof_ports)
+        self.csi_cfg = (csi_mod.CsiReportConfig(pmi_codebook=cb)
+                        if cb is not None else None)
+        self._csi_owners: dict[int, list[int]] = {}
         self._next_tc_rnti = 0x4601 + len(self.ues)
         self._dmrs_dl = (2, 11)
         self._dmrs_ul = (2, 7, 11)
@@ -303,13 +322,33 @@ class CellScheduler:
 
         # UL slot: PRACH occasion on its period, then PUSCH + PUCCH.
         pusch, harq_meta, pucch = [], [], []
+        pucch_f2 = []
         prach = ()
         if is_ul:
             if self.prach_cfg is not None and \
                     slot.count % self.prach_period_slots == \
                     self.prach_period_slots - 1:
                 prach = (self.prach_cfg,)
-            pusch, harq_meta = self._schedule_ul(slot)
+            # CSI occasions (uci_scheduler analogue): PUCCH F2 per UE on
+            # the csi period, top PRBs (below the F1 PRB), symbols 12-13.
+            if (self.csi_period_slots and self.csi_cfg is not None
+                    and slot.count % self.csi_period_slots
+                    == self.csi_period_slots - 1):
+                nbits = csi_mod.pucch_size(self.csi_cfg)
+                owners = []
+                for k, rnti in enumerate(sorted(self.ues)):
+                    rb0 = self.cell.nof_rb - 2 - k
+                    if rb0 <= 0:
+                        break
+                    pucch_f2.append(PucchF2Config(
+                        rb_start=rb0, nof_rb=1, start_symbol=12,
+                        nof_symbols=2, rnti=rnti, n_id=self.pci,
+                        n_id0=self.pci, nof_uci_bits=nbits,
+                        slot=slot.slot_index))
+                    owners.append(rnti)
+                self._csi_owners[slot.count] = owners
+            pusch, harq_meta = self._schedule_ul(
+                slot, reserved_top_rb=1 + len(pucch_f2))
             # one PUCCH F1 occasion per UE with a DL HARQ awaiting ACK
             # (simplified UCI allocator: shared PRB, distinct cyclic shifts)
             ics = 0
@@ -326,7 +365,8 @@ class CellScheduler:
             self._pucch_owners[slot.count] = owners
         ul = UlTtiRequest(slot=slot, pusch=tuple(pusch),
                           pusch_harq=tuple(harq_meta),
-                          pucch_f1=tuple(pucch), prach=prach)
+                          pucch_f1=tuple(pucch), pucch_f2=tuple(pucch_f2),
+                          prach=prach)
         return dl, tx, ul
 
     # ----------------------------------------------------------- policies
@@ -426,9 +466,15 @@ class CellScheduler:
                 break
             rb_cursor, rb_count = seg
             hid = ue.find_free(ue.dl_harq)
-            mod, rate = mcs_config(ue.cfg.mcs_table, ue.cfg.dl_mcs)
+            # DL link adaptation: CQI-driven MCS + RI-driven layer count
+            # once the UE has reported (handle_csi); configured defaults
+            # until then (ue_link_adaptation_controller analogue).
+            dl_mcs = ue.dl_mcs if self.link_adaptation else ue.cfg.dl_mcs
+            layers = (ue.dl_layers if self.link_adaptation
+                      else ue.cfg.nof_layers_dl)
+            mod, rate = mcs_config(ue.cfg.mcs_table, dl_mcs)
             t = tbs_calc(rb_count, 12, 12 * len(self._dmrs_dl), mod, rate,
-                         ue.cfg.nof_layers_dl)
+                         layers)
             if ue.dl_buffer > 0:
                 t = min(t, ue.dl_buffer * 8)
                 ue.dl_buffer = max(ue.dl_buffer - t // 8, 0)
@@ -436,10 +482,12 @@ class CellScheduler:
                 rnti=rnti, rb_start=rb_cursor, rb_count=rb_count,
                 first_symbol=1, nof_symbols=12, modulation=mod,
                 target_code_rate=rate, tbs=t,
-                nof_layers=ue.cfg.nof_layers_dl, n_id=self.pci,
+                nof_layers=layers, n_id=self.pci,
                 dmrs_symbols=self._dmrs_dl, dmrs_scrambling_id=self.pci,
                 numerology=self.cell.numerology,
-                slot_in_frame=slot.slot_index)
+                slot_in_frame=slot.slot_index,
+                precoding=self._precoding_for(ue, rb_cursor, rb_count,
+                                              layers))
             payload = self.rng.integers(0, 2, t).astype(np.int8)
             ue.dl_harq[hid].new_tx(cfg, payload)
             out.append((cfg, payload))
@@ -458,10 +506,11 @@ class CellScheduler:
         scs = 15_000 << self.cell.numerology
         return -(-139 * self.prach_cfg.scs_hz // (12 * scs)) + 1
 
-    def _schedule_ul(self, slot: SlotPoint):
+    def _schedule_ul(self, slot: SlotPoint, reserved_top_rb: int = 1):
         pusch, meta = [], []
         rb_lo = self._prach_guard_rb()
-        avail = self.cell.nof_rb - 1          # last PRB for PUCCH
+        # top PRBs reserved for PUCCH (F1 + this slot's CSI F2 occasions)
+        avail = self.cell.nof_rb - reserved_top_rb
         order = self._policy_order(self._rr_ul, dl=False)
         self._rr_ul += 1
         cands = []
@@ -529,7 +578,45 @@ class CellScheduler:
         self._update_avg_rates(granted_bits, dl=False)
         return pusch, meta
 
+    def _precoding_for(self, ue: UeContext, rb_start: int, rb_count: int,
+                       layers: int) -> PrecodingConfig | None:
+        """UE's reported PMI -> per-PRG precoding config for a new DL grant
+        (the fapi_adaptor precoding_matrix_mapper direction: MAC PMI ->
+        FAPI PM indices).  Wideband PMI repeats over the allocation's PRGs;
+        None (identity) until the UE reports or when the codebook has no
+        PMI (1 port)."""
+        csi = ue.last_csi
+        if (csi is None or self.csi_cfg is None
+                or self.csi_cfg.quantities != "cri_ri_pmi_cqi"
+                or self.cell.nof_ports not in (2, 4)
+                or layers != csi.ri):
+            return None
+        idx = pmi_to_index(self.cell.nof_ports, ri=csi.ri,
+                           i_1_1=csi.i_1_1, i_1_3=csi.i_1_3, i_2=csi.i_2)
+        n = nof_prgs(rb_start, rb_count, self.dl_prg_size)
+        return PrecodingConfig(prg_size=self.dl_prg_size,
+                               pm_indices=(idx,) * n)
+
     # -------------------------------------------------------- indications
+
+    def handle_csi(self, rnti: int, csi_bits) -> None:
+        """PUCCH CSI report -> DL link adaptation (the piece the reference
+        implements in csi_report_unpack_pucch + ue_link_adaptation):
+        wideband CQI drives dl_mcs, RI drives the layer count, PMI feeds
+        _precoding_for on the next grant."""
+        ue = self.ues.get(rnti)
+        if ue is None or self.csi_cfg is None or csi_bits is None:
+            return
+        try:
+            data = csi_mod.unpack_pucch(csi_bits, self.csi_cfg)
+        except AssertionError:
+            return                        # malformed report: keep last state
+        ue.last_csi = data
+        if self.link_adaptation:
+            ue.dl_mcs = csi_mod.cqi_to_mcs(data.wideband_cqi,
+                                           ue.cfg.mcs_table)
+            ue.dl_layers = max(1, min(data.ri, self.cell.nof_ports, 4))
+        self.counters["csi_reports"] = self.counters.get("csi_reports", 0) + 1
 
     def handle_crc(self, rnti: int, harq_id: int, crc_ok: bool,
                    snr_db: float | None = None):
@@ -568,11 +655,20 @@ class CellScheduler:
                     h.stop()
 
     def handle_uci_indications(self, slot_count: int, uci_pdus) -> None:
-        """Map positional PUCCH F1 indications of a slot back to their UEs
-        (the owners recorded at scheduling time) and apply HARQ feedback.
-        A non-detected occasion counts as DTX -> NACK, like the reference's
-        uci_scheduler handling of missing HARQ-ACK."""
+        """Map positional PUCCH indications of a slot back to their UEs
+        (the owners recorded at scheduling time): F1 -> HARQ feedback,
+        F2 -> CSI reports.  Indication order follows the conductor's
+        SlotResults.uci (F1 PDUs then F2 PDUs for this scheduler's plans).
+        A non-detected F1 occasion counts as DTX -> NACK, like the
+        reference's uci_scheduler handling of missing HARQ-ACK."""
         owners = self._pucch_owners.pop(slot_count, [])
+        csi_owners = self._csi_owners.pop(slot_count, [])
+        if csi_owners:
+            f2_pdus = uci_pdus[len(owners):len(owners) + len(csi_owners)]
+            for rnti, pdu in zip(csi_owners, f2_pdus):
+                if getattr(pdu, "detected", False):
+                    self.handle_csi(rnti, getattr(pdu, "csi_bits", None))
+            uci_pdus = uci_pdus[:len(owners)]
         for rnti, pdu in zip(owners, uci_pdus):
             detected = getattr(pdu, "detected", None)
             bits = getattr(pdu, "harq_bits", None)

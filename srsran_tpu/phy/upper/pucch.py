@@ -453,6 +453,57 @@ def transmit_format1(grid: jnp.ndarray, cfg: PucchF1Config, bits) -> jnp.ndarray
 
 # ----------------------------------------------------------------- Format 2
 
+def transmit_format2(grid: jnp.ndarray, cfg: "PucchF2Config",
+                     bits) -> jnp.ndarray:
+    """UE-side PUCCH F2 transmit into port 0 of a [P, nsym, nsc] grid.
+
+    TS38.211 §6.3.2.5: UCI-encode -> scramble -> QPSK on the 8 data
+    subcarriers per PRB (k%3 != 1), comb-3 DM-RS on k%3 == 1.  Exact
+    counterpart of process_format2 (same codec configuration) — used by
+    the UE emulator to close the CSI reporting loop.
+    """
+    from ...ops.scrambling import scramble_bits
+    from ...ops.modulation import modulate
+    from ...ops.gold import gold_sequence
+    from ...ops.crc import crc
+    b = jnp.asarray(np.atleast_1d(np.asarray(bits)).astype(np.int8))
+    k = cfg.nof_uci_bits
+    assert b.shape[-1] == k, f"F2 payload {b.shape[-1]} != {k} bits"
+    e_tot = 16 * cfg.nof_rb * cfg.nof_symbols
+    if k <= 11:
+        enc = short_block.encode(b[None], e_tot, 2)[0]
+    else:
+        crc_len = 6 if k < 20 else 11
+        code = polar_params.polar_code(k + crc_len, e_tot, nmax=10,
+                                       ibil=True,
+                                       n_pc=3 if k + crc_len <= 19 else 0)
+        with_crc = jnp.concatenate(
+            [b[None], crc(b[None], f"crc{crc_len}")], axis=-1)
+        u = polar_ops.allocate(with_crc, code)
+        enc = polar_ops.rate_match(polar_ops.encode(u, code.n), code)[0]
+    c_init = ((cfg.rnti << 15) + cfg.n_id) % (1 << 31)
+    scr = scramble_bits(enc[None], c_init)
+    syms = modulate(scr, "qpsk")[0]
+    data_sc, dmrs_sc = [], []
+    for rb in range(cfg.rb_start, cfg.rb_start + cfg.nof_rb):
+        for kk in range(12):
+            (dmrs_sc if kk % 3 == 1 else data_sc).append(rb * 12 + kk)
+    data_sc = np.array(data_sc, np.int32)
+    dmrs_sc = np.array(dmrs_sc, np.int32)
+    n_data = len(data_sc)
+    for s in range(cfg.nof_symbols):
+        l = cfg.start_symbol + s
+        grid = grid.at[0, l, jnp.asarray(data_sc)].add(
+            syms[s * n_data:(s + 1) * n_data])
+        ci = ((1 << 17) * (14 * cfg.slot + l + 1) * (2 * cfg.n_id0 + 1)
+              + 2 * cfg.n_id0) % (1 << 31)
+        pil_bits = gold_sequence(jnp.uint32(ci), 2 * len(dmrs_sc),
+                                 advance=2 * 4 * cfg.rb_start)
+        grid = grid.at[0, l, jnp.asarray(dmrs_sc)].add(
+            modulate(pil_bits[None], "qpsk")[0])
+    return grid
+
+
 # ------------------------------------------------------------- Format 3 / 4
 
 # TS38.211 Table 6.4.1.3.3.2-1: DM-RS symbol positions within the PUCCH

@@ -38,6 +38,9 @@ class AppConfig:
                                       # indication d2h (PendingSlotResults);
                                       # reference runs up to 5 slots deep
                                       # (du_low_config.h:40)
+    csi_period_slots: int = 20        # sched mode: PUCCH F2 wideband CSI
+                                      # report period per UE (0 = off);
+                                      # drives DL MCS/rank/PMI adaptation
 
 
 DEFAULT_YAML = """
@@ -97,7 +100,8 @@ def load(path: str | None = None, overrides: list | None = None) -> AppConfig:
                      trace_file=str(r.get("trace_file", "")),
                      mac=str(r.get("mac", "test")),
                      prach_period_slots=int(r.get("prach_period_slots", 0)),
-                     resolve_lag=int(r.get("resolve_lag", 2)))
+                     resolve_lag=int(r.get("resolve_lag", 2)),
+                     csi_period_slots=int(r.get("csi_period_slots", 20)))
 
 
 def dump(cfg: AppConfig) -> str:
@@ -114,7 +118,8 @@ def dump(cfg: AppConfig) -> str:
                  "mcs_index": u.mcs_index} for u in cfg.ues],
         "run": {"nof_slots": cfg.nof_slots, "seed": cfg.seed,
                 "channel_profile": cfg.channel_profile,
-                "channel_sinr_db": cfg.channel_sinr_db},
+                "channel_sinr_db": cfg.channel_sinr_db,
+                "csi_period_slots": cfg.csi_period_slots},
     })
 
 
