@@ -163,7 +163,9 @@ def main():
             }
 
         host, _, port = args.e2.rpartition(":")
-        e2_agent = E2Agent(host or "127.0.0.1", int(port), kpm_provider)
+        e2_agent = E2Agent(
+            host or "127.0.0.1", int(port), kpm_provider,
+            control_handler=(sched.apply_ric_control if use_sched else None))
         e2_agent.start()
         print(f"E2 agent connected to RIC at {args.e2}")
 

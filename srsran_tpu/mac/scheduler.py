@@ -112,6 +112,8 @@ class UeContext:
         self.dl_mcs = cfg.dl_mcs
         self.dl_layers = cfg.nof_layers_dl
         self.last_csi: "csi_mod.CsiReportData | None" = None
+        # RIC-controlled MCS ceiling (E2SM-RC executor state); None = none
+        self.mcs_cap: int | None = None
         # EWMA delivered rate (bits/slot) for the time-QoS PF metric
         self.avg_rate_dl = 1.0
         self.avg_rate_ul = 1.0
@@ -227,6 +229,9 @@ class CellScheduler:
         # follows the cell's port count.
         self.csi_period_slots = csi_period_slots
         self.dl_prg_size = dl_prg_size
+        # admin state (E2SM-RC cell_stop/cell_start; the reference's du
+        # config executor can deactivate a cell): False = no transmissions
+        self.active = True
         cb = {1: "one", 2: "two", 4: "typeI_4ports"}.get(cell.nof_ports)
         self.csi_cfg = (csi_mod.CsiReportConfig(pmi_codebook=cb)
                         if cb is not None else None)
@@ -250,8 +255,8 @@ class CellScheduler:
         dl_pdsch, dl_pdcch, payloads, dcis = [], [], [], []
         ssb, mibs = (), ()
         slots_per_ms = slot.nof_slots_per_subframe()
-        is_dl = self.tdd.is_dl(slot.count)
-        is_ul = self.tdd.is_ul(slot.count)
+        is_dl = self.tdd.is_dl(slot.count) and self.active
+        is_ul = self.tdd.is_ul(slot.count) and self.active
 
         used_rb_dl = 0
         if is_dl and slot.slot_index == 0 \
@@ -470,6 +475,8 @@ class CellScheduler:
             # once the UE has reported (handle_csi); configured defaults
             # until then (ue_link_adaptation_controller analogue).
             dl_mcs = ue.dl_mcs if self.link_adaptation else ue.cfg.dl_mcs
+            if ue.mcs_cap is not None:
+                dl_mcs = min(dl_mcs, ue.mcs_cap)
             layers = (ue.dl_layers if self.link_adaptation
                       else ue.cfg.nof_layers_dl)
             mod, rate = mcs_config(ue.cfg.mcs_table, dl_mcs)
@@ -555,6 +562,8 @@ class CellScheduler:
             rb_cursor, rb_count = seg
             hid = ue.find_free(ue.ul_harq)
             mcs = ue.ul_mcs if self.link_adaptation else ue.cfg.ul_mcs
+            if ue.mcs_cap is not None:
+                mcs = min(mcs, ue.mcs_cap)
             mod, rate = mcs_config(ue.cfg.mcs_table, mcs)
             t = tbs_calc(rb_count, 14, 12 * len(self._dmrs_ul), mod, rate,
                          ue.cfg.nof_layers_ul)
@@ -596,6 +605,32 @@ class CellScheduler:
         n = nof_prgs(rb_start, rb_count, self.dl_prg_size)
         return PrecodingConfig(prg_size=self.dl_prg_size,
                                pm_indices=(idx,) * n)
+
+    # ------------------------------------------------------- RIC control
+
+    def apply_ric_control(self, action: str, params: dict) -> dict:
+        """E2SM-RC control executor (e2sm_rc_control_action_du_executor
+        analogue): a RIC control request changes scheduler behavior from
+        the next slot_indication on.  Raises on bad parameters (the agent
+        converts that into ric_control_failure)."""
+        if action == "set_ue_mcs_cap":
+            ue = self.ues[int(params["rnti"])]
+            cap = params.get("max_mcs")
+            ue.mcs_cap = None if cap is None else int(cap)
+            return {"rnti": int(params["rnti"]), "max_mcs": ue.mcs_cap}
+        if action == "set_ue_qos_weight":
+            ue = self.ues[int(params["rnti"])]
+            ue.cfg = dataclasses.replace(
+                ue.cfg, qos_weight=float(params["qos_weight"]))
+            return {"rnti": int(params["rnti"]),
+                    "qos_weight": ue.cfg.qos_weight}
+        if action == "cell_stop":
+            self.active = False
+            return {"active": False}
+        if action == "cell_start":
+            self.active = True
+            return {"active": True}
+        raise ValueError(f"unknown control action {action!r}")
 
     # -------------------------------------------------------- indications
 

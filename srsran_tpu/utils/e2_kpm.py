@@ -1,4 +1,4 @@
-"""E2 agent with a KPM (Key Performance Measurement) service model.
+"""E2 agent with KPM (monitoring) and RC (RAN control) service models.
 
 Host-runtime analogue of the reference's E2 stack (lib/e2/, ~9.5 kLoC):
 the E2AP procedures (E2 setup, RIC subscription, RIC indication,
@@ -23,6 +23,14 @@ The measurement provider is injected as a callable returning the current
 counter snapshot (the du_metrics_interface analogue); the agent computes
 per-period deltas for cumulative counters the same way the reference's
 meas provider consumes scheduler/MAC metric reports.
+
+RC service model (lib/e2/e2sm/e2sm_rc/): the reference registers a second
+RAN function for RIC-initiated control (e2sm_rc_control_service styles,
+e2sm_rc_control_action_du_executor.cpp executing slice-level PRB quota
+changes on the DU config).  Here the agent advertises RAN function id 3
+with its supported control actions and routes ric_control_request to an
+injected control handler (the scheduler's apply_ric_control), answering
+ric_control_ack / ric_control_failure per the E2AP control procedure.
 """
 
 from __future__ import annotations
@@ -76,14 +84,25 @@ def _recv_msg(sock: socket.socket) -> dict | None:
     return json.loads(data)
 
 
+# Control actions supported by the RC service model, mirroring the
+# executor set of e2sm_rc_control_action_du_executor.cpp (slice PRB quota
+# -> qos_weight; UE-level MCS control; cell admin state).
+SUPPORTED_CONTROLS = ("set_ue_mcs_cap", "set_ue_qos_weight",
+                      "cell_stop", "cell_start")
+
+
 class E2Agent:
     """E2 agent: connects to a RIC, handles KPM subscriptions, pushes
-    periodic indications.  provider() -> {meas_name: value} snapshot."""
+    periodic indications, and executes RC control requests.
+    provider() -> {meas_name: value} snapshot;
+    control_handler(action, params) -> result dict (raises on failure)."""
 
     def __init__(self, ric_addr: str, ric_port: int, provider,
-                 gnb_id: int = 411, plmn: str = "00101"):
+                 gnb_id: int = 411, plmn: str = "00101",
+                 control_handler=None):
         self._addr = (ric_addr, ric_port)
         self._provider = provider
+        self._control_handler = control_handler
         self._gnb_id = gnb_id
         self._plmn = plmn
         self._sock: socket.socket | None = None
@@ -102,7 +121,11 @@ class E2Agent:
             "ran_functions": [{
                 "ran_function_id": 2,  # the reference registers KPM as id 2
                 "oid": "1.3.6.1.4.1.53148.1.2.2.2",  # e2sm_kpm OID
-                "meas_types": sorted(SUPPORTED_MEAS)}],
+                "meas_types": sorted(SUPPORTED_MEAS)},
+                *([] if self._control_handler is None else [{
+                    "ran_function_id": 3,  # reference: RC is id 3
+                    "oid": "1.3.6.1.4.1.53148.1.1.2.3",  # e2sm_rc OID
+                    "control_actions": list(SUPPORTED_CONTROLS)}])],
         })
         resp = _recv_msg(self._sock)
         if not resp or resp.get("msg") != "e2_setup_response":
@@ -171,6 +194,28 @@ class E2Agent:
             self._subs.pop(req_id, None)
             _send_msg(self._sock, {"msg": "ric_subscription_delete_response",
                                    "ric_request_id": req_id})
+        elif kind == "ric_control_request":
+            # E2AP RIC control procedure through the RC service model
+            # (e2sm_rc_control_service -> du executor): execute, ack/fail.
+            req_id = msg.get("ric_request_id", 0)
+            action = msg.get("action")
+            if self._control_handler is None \
+                    or action not in SUPPORTED_CONTROLS:
+                _send_msg(self._sock, {
+                    "msg": "ric_control_failure", "ric_request_id": req_id,
+                    "cause": f"unsupported control action {action!r}"})
+                return
+            try:
+                outcome = self._control_handler(action,
+                                                msg.get("params", {}))
+            except Exception as e:  # noqa: BLE001 — fault isolation to NACK
+                _send_msg(self._sock, {
+                    "msg": "ric_control_failure", "ric_request_id": req_id,
+                    "cause": str(e)})
+                return
+            _send_msg(self._sock, {
+                "msg": "ric_control_ack", "ric_request_id": req_id,
+                "action": action, "outcome": outcome or {}})
 
     def _send_indication(self, sub: dict) -> None:
         snap = dict(self._provider())
@@ -244,6 +289,15 @@ class RicServer:
         _send_msg(self._conn, {"msg": "ric_subscription_delete_request",
                                "ric_request_id": ric_request_id})
 
+    def control(self, ric_request_id: int, action: str,
+                params: dict | None = None) -> None:
+        """RIC-initiated control (e2sm_rc): ack/failure arrives via
+        wait_response()."""
+        _send_msg(self._conn, {"msg": "ric_control_request",
+                               "ric_request_id": ric_request_id,
+                               "ran_function_id": 3, "action": action,
+                               "params": params or {}})
+
     def wait_indications(self, n: int, timeout_s: float = 5.0) -> list:
         t0 = time.monotonic()
         while time.monotonic() - t0 < timeout_s:
@@ -253,6 +307,19 @@ class RicServer:
             time.sleep(0.01)
         with self._lock:
             return list(self.indications)
+
+    def wait_response_for(self, ric_request_id: int,
+                          timeout_s: float = 5.0) -> dict | None:
+        """Wait for the response matching a specific request id (avoids
+        racing a previous request's ack)."""
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout_s:
+            with self._lock:
+                for r in self.responses:
+                    if r.get("ric_request_id") == ric_request_id:
+                        return r
+            time.sleep(0.01)
+        return None
 
     def wait_response(self, timeout_s: float = 5.0) -> dict | None:
         t0 = time.monotonic()

@@ -74,3 +74,59 @@ def test_supported_meas_cover_reference_families():
     # counters, radio measurements (e2sm_kpm_du_meas_provider_impl.cpp)
     fams = {m.split(".")[0] for m in SUPPORTED_MEAS}
     assert {"DRB", "RRU", "L1M"} <= fams
+
+
+# ------------------------------------------------------------ E2SM-RC
+
+def test_rc_control_changes_scheduler_next_slot():
+    """RIC control request -> scheduler behavior change on the NEXT slot
+    (e2sm_rc control procedure through the du executor analogue)."""
+    from srsran_tpu.mac.scheduler import CellScheduler, SchedUeConfig
+    from srsran_tpu.phy.slot_programs import CellConfig
+    from srsran_tpu.ran.slot_point import SlotPoint
+    from srsran_tpu.ran.tdd import TddPattern
+
+    cell = CellConfig(nof_rb=52, numerology=1, nof_ports=2, dft_size=1024)
+    sched = CellScheduler(
+        cell, 1, ues=[SchedUeConfig(rnti=0x4601)],
+        tdd=TddPattern(periodicity_slots=2, nof_dl_slots=1, nof_ul_slots=1))
+    ric = RicServer()
+    agent = E2Agent("127.0.0.1", ric.port, lambda: {},
+                    control_handler=sched.apply_ric_control)
+    agent.start()
+    try:
+        # RC function advertised alongside KPM
+        fns = {f["ran_function_id"] for f in ric.setup["ran_functions"]}
+        assert fns == {2, 3}
+        rc = [f for f in ric.setup["ran_functions"]
+              if f["ran_function_id"] == 3][0]
+        assert "set_ue_mcs_cap" in rc["control_actions"]
+
+        # baseline grant uses the configured MCS (27 -> qam64 high rate)
+        dl0, _, _ = sched.slot_indication(SlotPoint(1, 0))
+        assert dl0.pdsch[0].modulation == "qam64"
+
+        ric.control(10, "set_ue_mcs_cap", {"rnti": 0x4601, "max_mcs": 3})
+        ack = ric.wait_response_for(10)
+        assert ack["msg"] == "ric_control_ack"
+        dl1, _, _ = sched.slot_indication(SlotPoint(1, 2))
+        assert dl1.pdsch[0].modulation == "qpsk"      # capped at MCS 3
+
+        # cell stop empties the schedule; start restores it
+        ric.control(11, "cell_stop", {})
+        assert ric.wait_response_for(11)["msg"] == "ric_control_ack"
+        dl2, _, ul2 = sched.slot_indication(SlotPoint(1, 4))
+        assert not dl2.pdsch and not ul2.pusch
+        ric.control(12, "cell_start", {})
+        assert ric.wait_response_for(12)["msg"] == "ric_control_ack"
+        dl3, _, _ = sched.slot_indication(SlotPoint(1, 6))
+        assert dl3.pdsch
+
+        # unknown action and bad params -> ric_control_failure
+        ric.control(13, "detonate", {})
+        assert ric.wait_response_for(13)["msg"] == "ric_control_failure"
+        ric.control(14, "set_ue_mcs_cap", {"rnti": 0x9999, "max_mcs": 1})
+        assert ric.wait_response_for(14)["msg"] == "ric_control_failure"
+    finally:
+        agent.stop()
+        ric.close()
