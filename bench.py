@@ -177,12 +177,26 @@ def _run(result, errors, stage):
                         nof_symbols=12, modulation="qam256",
                         target_code_rate=0.8, tbs=835584, nof_layers=4,
                         n_id=1, dmrs_symbols=(2, 11))
-    pusch = PuschConfig(rnti=0x17, rb_start=0, rb_count=273, first_symbol=0,
+    # PUSCH keeps the r4 TBS (311400) on 269 RB; the top 4 PRBs carry the
+    # SRS occasion at symbol 13 so the UL mix pays for sounding too.
+    pusch = PuschConfig(rnti=0x17, rb_start=0, rb_count=269, first_symbol=0,
                         nof_symbols=14, modulation="qam64",
                         target_code_rate=0.7, tbs=311400, nof_layers=2,
                         n_id=1, dmrs_symbols=(2, 7, 11))
     pucch = PucchF1Config(prb=0, start_symbol=0, nof_symbols=14,
                           initial_cyclic_shift=0, time_domain_occ=0, n_id=1)
+    # Full UL mix (VERDICT r4 #7): one 64-preamble PRACH occasion (B4, the
+    # 12-repetition short format) and one SRS PDU EVERY UL slot — stricter
+    # than a deployment's PRACH periodicity; the correlation + IDFT cost
+    # (prach_detector_generic_impl.cpp:101-149) is in the headline number.
+    from srsran_tpu.phy.upper.prach import PrachConfig, generate as prach_gen
+    from srsran_tpu.phy.upper.srs import SrsConfig, map_to_grid as map_srs
+    prach_cfg = PrachConfig(format="B4", root_sequence_index=39,
+                            zero_correlation_zone=10, ra_scs_hz=30_000)
+    srs_cfg = SrsConfig(rb_start=269, rb_count=4, start_symbol=13,
+                        nof_symbols=1, comb=2, comb_offset=0,
+                        cyclic_shift=0, nof_ports=1, sequence_id=1,
+                        numerology=1, rnti=0x17)
 
     # Host-side payloads: packed bytes (the FAPI wire format) for the
     # conductor; pre-uploaded bit arrays for the raw device loop.
@@ -221,7 +235,9 @@ def _run(result, errors, stage):
             pusch=(dataclasses.replace(
                 pusch, slot_in_frame=slot.slot_index),),
             pucch_f1=(dataclasses.replace(
-                pucch, slot=slot.slot_index),))
+                pucch, slot=slot.slot_index),),
+            prach=(prach_cfg,),
+            srs=(srs_cfg,))
 
     def tx_request(i):
         dl = dl_request(i)
@@ -238,15 +254,33 @@ def _run(result, errors, stage):
     # blocks, 2 layers onto 4 rx ports) so the receiver exercises its
     # deployment path — CRC passes and the decoder's CRC early stop
     # engages, like the reference's PUSCH benchmark decoding golden vectors.
-    ue_cfg = PdschConfig(rnti=pusch.rnti, rb_start=0, rb_count=273,
+    ue_cfg = PdschConfig(rnti=pusch.rnti, rb_start=0, rb_count=269,
                          first_symbol=0, nof_symbols=14, modulation="qam64",
                          target_code_rate=0.7, tbs=pusch.tbs, nof_layers=2,
                          n_id=1, dmrs_symbols=(2, 7, 11))
     ue_fn = dl_slot_fn(cell, ((), (), (ue_cfg,), ()))
     ul_payload = jnp.asarray(
         rng.integers(0, 2, pusch.tbs).astype(np.int8))
-    ue_samples, ue_grid = ue_fn((), (), (ul_payload,))
-    rx = ue_samples
+    _, ue_grid = ue_fn((), (), (ul_payload,))
+    # the UE also sounds: SRS in the top PRBs at symbol 13
+    from srsran_tpu.ops import ofdm as _ofdm
+    ue_grid = map_srs(ue_grid, srs_cfg)
+    rx = _ofdm.modulate_slot(ue_grid, cell.dft_size, cell.numerology,
+                             center_freq_hz=cell.center_freq_hz)
+    rx.block_until_ready()
+    # PRACH occasion capture: the B4 preamble through a 2 us delay channel
+    # onto all rx ports, 12 repeated symbols (frequency-domain window the
+    # lower PHY's PRACH FSM delivers; phy/lower/prach_demod.py).
+    _tx_pre = np.asarray(prach_gen(prach_cfg, 21))
+    _k = np.arange(prach_cfg.l_ra)
+    _ramp = np.exp(-2j * np.pi * _k * prach_cfg.scs_hz * 2e-6)
+    _gains = np.linspace(0.9, 0.6, cell.nof_ports)
+    _fd = np.stack([g * _tx_pre * _ramp for g in _gains])[:, None, :]
+    _fd = np.tile(_fd, (1, 12, 1))           # [P, 12 sym, L_RA]
+    _fd = _fd + 0.05 * (rng.standard_normal(_fd.shape)
+                        + 1j * rng.standard_normal(_fd.shape))
+    prach_fd = (jnp.asarray(_fd.astype(np.complex64)),)
+    jax.block_until_ready(prach_fd)
 
     # ---- raw slot programs: pre-resolve every phase's (fn, args) ---------
     print(f"BENCH_STAGE compile_raw t={time.time() - T_START:.0f}s", file=sys.stderr)
@@ -271,7 +305,7 @@ def _run(result, errors, stage):
         plan, ctx = normalize_ul_plan(ul_tti)
         fn = _packed_ul_fn(cell, plan, ul_tti.slot.subframe_slot_index)
         raw_ul.append((fn, ctx))
-    scalars, payload, _ = raw_ul[0][0](rx, (), softs, raw_ul[0][1])
+    scalars, payload, _ = raw_ul[0][0](rx, prach_fd, softs, raw_ul[0][1])
     jax.block_until_ready(scalars)
     ul_compile_s = time.time() - t0
     result["dl_compile_s"] = round(dl_compile_s, 1)
@@ -281,7 +315,7 @@ def _run(result, errors, stage):
         fn, args = raw_dl[i % n_phases]
         dl_out = fn(*args)
         ufn, uctx = raw_ul[i % n_phases]
-        ul_out = ufn(rx_in, (), softs, uctx)
+        ul_out = ufn(rx_in, prach_fd, softs, uctx)
         return dl_out, ul_out[0]
 
     def run_batches(launch, nof=nof_slots, batches=nof_batches):
@@ -330,7 +364,8 @@ def _run(result, errors, stage):
             st = cond.stage_payloads(
                 [(DLR[g], TXD[g]) for g in grp], stride=stride)
             for kk, g in enumerate(grp):
-                warm.append(cond.process_slot(DLR[g], ULR[g], st, kk, rx))
+                warm.append(cond.process_slot(DLR[g], ULR[g], st, kk, rx,
+                                             prach_fd=prach_fd))
         jax.block_until_ready([(s, p.scalars) for s, p in warm])
 
         def batch(_):
@@ -342,7 +377,8 @@ def _run(result, errors, stage):
                 st = cond.stage_payloads(
                     [(DLR[g], TXD[g]) for g in grp], stride=stride)
                 for kk, g in enumerate(grp):
-                    s, pend = cond.process_slot(DLR[g], ULR[g], st, kk, rx)
+                    s, pend = cond.process_slot(DLR[g], ULR[g], st, kk, rx,
+                                                prach_fd=prach_fd)
                     keep.append((s, pend.scalars))
                     pendings.append(pend)
             jax.block_until_ready(keep)

@@ -185,12 +185,19 @@ def estimate(rx_pilots: jnp.ndarray, expected: jnp.ndarray,
              estimate_cfo: bool = True,
              dmrs_symbol_times_s: np.ndarray | None = None,
              td_strategy: str = "average",
-             dmrs_symbol_idx: np.ndarray | None = None) -> ChannelEstimate:
+             dmrs_symbol_idx: np.ndarray | None = None,
+             cdm_pairs: bool = False) -> ChannelEstimate:
     """Estimate the channel for one allocation hop.
 
     rx_pilots: complex64 [P, S_dmrs, K_p] received REs at pilot positions.
     expected:  complex64 [L, S_dmrs, K_p] transmitted pilots (per layer).
     pilot_scs: int [K_p] subcarrier indices (within the allocation, 0-based).
+    cdm_pairs: set when MULTIPLE layers share the comb under an fd-OCC
+    cover (DM-RS type 1 w_f): the per-layer LS then carries the OTHER
+    port as an alternating h_other*(-1)^k term at the comb Nyquist rate,
+    which no lowpass fully rejects — despreading over adjacent pilot
+    PAIRS (the CDM group, channel assumed pair-constant like the
+    reference's cover-code removal) cancels it exactly.
     Returns coefficients on the full [P, L, nof_symbols, nof_sc] lattice.
     """
     p = rx_pilots.shape[0]
@@ -199,6 +206,17 @@ def estimate(rx_pilots: jnp.ndarray, expected: jnp.ndarray,
 
     # LS per (port, layer, dmrs symbol, pilot)
     ls = rx_pilots[:, None] * jnp.conj(expected)[None] / (beta_scaling ** 2)
+
+    if cdm_pairs:
+        # fd-OCC despread: average adjacent pilot pairs (cancels the
+        # co-scheduled CDM port), halving the pilot lattice.
+        ls = 0.5 * (ls[..., 0::2] + ls[..., 1::2])
+        scs_np = np.asarray(pilot_scs)
+        pilot_scs_sm = (scs_np[0::2] + scs_np[1::2]) // 2
+        stride_sm = stride * 2
+    else:
+        pilot_scs_sm = np.asarray(pilot_scs)
+        stride_sm = stride
 
     # CFO from phase slope between consecutive DM-RS symbols.
     cfo = jnp.zeros((), dtype=jnp.float32)
@@ -211,13 +229,13 @@ def estimate(rx_pilots: jnp.ndarray, expected: jnp.ndarray,
         rot = jnp.exp(-2j * np.pi * cfo * t).astype(ls.dtype)
         ls = ls * rot[None, None, :, None]
 
-    ls_avg = jnp.mean(ls, axis=2)                                   # [P, L, K_p]
+    ls_avg = jnp.mean(ls, axis=2)                           # [P, L, K_sm]
     # Smoothing + frequency interpolation as ONE host-precomputed matmul
     # (op-count dominates at these sizes); the smoothed pilots are read back
     # off the interpolated lattice (linear interp is exact at pilot points).
     m_si = jnp.asarray(_smooth_interp_matrix(
-        tuple(int(s) for s in np.asarray(pilot_scs)), nof_sc, smoothing,
-        stride))
+        tuple(int(s) for s in pilot_scs_sm), nof_sc, smoothing,
+        stride_sm))
     coeffs_f = jnp.einsum("plk,nk->pln", ls_avg, m_si)      # [P, L, nsc]
     pilot_idx = jnp.asarray(np.asarray(pilot_scs, dtype=np.int32))
     filtered = coeffs_f[..., pilot_idx]                     # [P, L, K_p]
@@ -236,8 +254,8 @@ def estimate(rx_pilots: jnp.ndarray, expected: jnp.ndarray,
     noise_var = jnp.maximum(noise_var, rsrp * 10 ** (-60 / 10))     # MAX_SINR floor
     snr = rsrp / jnp.maximum(noise_var, 1e-12)
 
-    # Time alignment: IDFT power peak over the pilot comb.
-    ta = _time_alignment(ls_avg, pilot_scs, nof_sc, scs_hz, stride)
+    # Time alignment: IDFT power peak over the (despread) pilot comb.
+    ta = _time_alignment(ls_avg, pilot_scs_sm, nof_sc, scs_hz, stride_sm)
 
     # Interpolate to the full subcarrier lattice (linear), then across time:
     # 'average' replicates the symbol-averaged estimate; 'interpolate' blends

@@ -196,7 +196,8 @@ def _estimate_group(grid: jnp.ndarray, cfg: PuschConfig, dmrs_cinits,
         float(scs), stride=2, smoothing="filter",
         dmrs_symbol_times_s=times[np.asarray(cfg.dmrs_symbols)],
         td_strategy=cfg.td_interpolation,
-        dmrs_symbol_idx=np.asarray(cfg.dmrs_symbols))
+        dmrs_symbol_idx=np.asarray(cfg.dmrs_symbols),
+        cdm_pairs=len(ports) > 1)
 
 
 def _frontend_hop(grid: jnp.ndarray, cfg: PuschConfig, dmrs_cinits=None):

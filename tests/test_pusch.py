@@ -112,3 +112,24 @@ def test_pusch_two_layers():
     res = pusch.process(jnp.asarray(rx.astype(np.complex64)), cfg)
     assert bool(res.tb_crc_ok)
     np.testing.assert_array_equal(np.asarray(res.tb_bits), payload)
+
+
+def test_pusch_two_layers_qam64_high_rate_clean():
+    """Regression (r5): per-layer LS leaves the co-scheduled CDM port as an
+    h_other*(-1)^k Nyquist term that the RC smoothing filter does NOT
+    reject — without fd-OCC pair despreading the clean-channel estimate
+    saturated at ~10 dB effective SINR and QAM64@0.7 NEVER decoded.  Pin
+    the despread path: noiseless identity channel must estimate >40 dB and
+    decode."""
+    from srsran_tpu.ran.mcs_tbs import tbs as tbs_calc
+    t = tbs_calc(20, 14, 12 * 3, "qam64", 0.7, 2)
+    cfg = _mk_cfg(nof_layers=2, modulation="qam64", tbs=t,
+                  target_code_rate=0.7)
+    rng = np.random.default_rng(7)
+    payload = rng.integers(0, 2, t).astype(np.int8)
+    tx = np.asarray(_tx_grid(cfg, payload, 2))
+    res = pusch.process(jnp.asarray(tx), cfg)
+    assert bool(res.tb_crc_ok)
+    np.testing.assert_array_equal(np.asarray(res.tb_bits), payload)
+    snr_db = 10 * np.log10(float(np.mean(np.asarray(res.csi.snr))))
+    assert snr_db > 40, snr_db

@@ -33,9 +33,19 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_slot_pipeline(mesh, nof_slots: int):
+def run_slot_pipeline(mesh, nof_slots: int, depth: int = 0,
+                      nof_rb: int = 24):
     """Run nof_slots DL+UL multi-cell slots on the given mesh; returns
-    (elapsed_s, nof_cells, crc_ok)."""
+    (elapsed_s, nof_cells, crc_ok).
+
+    depth: max slots in flight per process (the analogue of the
+    reference's max_processing_delay_slots=5, du_low_config.h:40) —
+    slot N+depth only launches once slot N's results are ready, hiding
+    the per-dispatch DCN cost behind depth slots of device work.
+    0 = unbounded (enqueue everything, block once at the end).
+    nof_rb: cell size — deployment-sized cells amortize the fixed
+    per-slot cross-process cost that toy cells expose.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,15 +58,21 @@ def run_slot_pipeline(mesh, nof_slots: int):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     nof_cells = mesh.shape["cell"]
-    cell = CellConfig(nof_ports=2, nof_rb=24, dft_size=512, numerology=1,
-                      center_freq_hz=0.0)
-    pdsch = PdschConfig(rnti=0x10, rb_start=0, rb_count=24, first_symbol=1,
+    from srsran_tpu.ran.mcs_tbs import tbs as tbs_calc
+    dft = 1 << int(np.ceil(np.log2(nof_rb * 12 / 0.85)))
+    cell = CellConfig(nof_ports=2, nof_rb=nof_rb, dft_size=dft,
+                      numerology=1, center_freq_hz=0.0)
+    t_dl = tbs_calc(nof_rb, 12, 12, "qam16", 0.5, 2)
+    t_ul = tbs_calc(nof_rb, 14, 36, "qam16", 0.5, 1)
+    pdsch = PdschConfig(rnti=0x10, rb_start=0, rb_count=nof_rb,
+                        first_symbol=1,
                         nof_symbols=12, modulation="qam16",
-                        target_code_rate=0.5, tbs=8448, nof_layers=2,
+                        target_code_rate=0.5, tbs=t_dl, nof_layers=2,
                         n_id=0, dmrs_symbols=(2,))
-    pusch = PuschConfig(rnti=0x11, rb_start=0, rb_count=24, first_symbol=0,
+    pusch = PuschConfig(rnti=0x11, rb_start=0, rb_count=nof_rb,
+                        first_symbol=0,
                         nof_symbols=14, modulation="qam16",
-                        target_code_rate=0.5, tbs=8448, nof_layers=1,
+                        target_code_rate=0.5, tbs=t_ul, nof_layers=1,
                         n_id=0, dmrs_symbols=(2, 7, 11))
     dl_plan = ((), (), (pdsch,), ())
     ul_plan = ((pusch,), (), (), (), ())
@@ -74,7 +90,7 @@ def run_slot_pipeline(mesh, nof_slots: int):
         rng.integers(0, 2, (local_cells, pdsch.tbs)).astype(np.int8)))
 
     # UE TX per cell closing the UL loop
-    ue_cfg = PdschConfig(rnti=pusch.rnti, rb_start=0, rb_count=24,
+    ue_cfg = PdschConfig(rnti=pusch.rnti, rb_start=0, rb_count=nof_rb,
                          first_symbol=0, nof_symbols=14, modulation="qam16",
                          target_code_rate=0.5, tbs=pusch.tbs, nof_layers=1,
                          n_id=0, dmrs_symbols=(2, 7, 11))
@@ -100,13 +116,16 @@ def run_slot_pipeline(mesh, nof_slots: int):
     for _ in range(nof_slots):
         keep.append((dl_fn((), (), (dl_payload,))[0],
                      ul_fn(rx, (), softs)["pusch"][0]["tb_crc_ok"]))
+        if depth and len(keep) >= depth:
+            jax.block_until_ready(keep.pop(0))
     jax.block_until_ready(keep)
     multihost_utils.sync_global_devices("timed")
     elapsed = time.time() - t0
     return elapsed, nof_cells, bool(crc.all())
 
 
-def worker(pid: int, nprocs: int, nof_slots: int, out_path: str):
+def worker(pid: int, nprocs: int, nof_slots: int, out_path: str,
+           depth: int = 0, nof_rb: int = 24, port: int = 29513):
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     sys.path.insert(0, REPO)
@@ -114,14 +133,16 @@ def worker(pid: int, nprocs: int, nof_slots: int, out_path: str):
     from srsran_tpu.parallel import multihost
 
     if nprocs > 1:
-        ok = multihost.initialize("127.0.0.1:29513", nprocs, pid)
+        ok = multihost.initialize(f"127.0.0.1:{port}", nprocs, pid)
         assert ok and jax.process_count() == nprocs
     mesh = multihost.global_cell_mesh()
-    elapsed, nof_cells, crc_ok = run_slot_pipeline(mesh, nof_slots)
+    elapsed, nof_cells, crc_ok = run_slot_pipeline(mesh, nof_slots, depth,
+                                                   nof_rb)
     assert crc_ok, "multi-cell UL decode failed"
     if pid == 0:
         res = {"procs": nprocs, "devices": jax.device_count(),
                "mesh": dict(mesh.shape), "nof_slots": nof_slots,
+               "depth": depth, "nof_rb": nof_rb,
                "slots_per_s": round(nof_slots / elapsed, 2),
                "cells_per_s": round(nof_slots * nof_cells / elapsed, 2),
                "crc_ok": crc_ok}
@@ -139,27 +160,84 @@ def main():
                          "and N-proc runs — the fair weak-scaling protocol "
                          "on a single shared host")
     ap.add_argument("--slots", type=int, default=20)
+    ap.add_argument("--depth", type=int, default=0,
+                    help="slots in flight per process (0 = unbounded); the "
+                         "max_processing_delay_slots analogue")
+    ap.add_argument("--depth-sweep", default="",
+                    help="comma list of depths to sweep (e.g. 1,2,4,8,0); "
+                         "writes the efficiency-vs-depth curve")
+    ap.add_argument("--rb", type=int, default=24,
+                    help="PRBs per cell (24 = toy; 106/273 = "
+                         "deployment-sized, amortizes per-slot DCN cost)")
     ap.add_argument("--worker", type=int, default=-1)
     ap.add_argument("--nprocs", type=int, default=1)
+    ap.add_argument("--port", type=int, default=29513)
     ap.add_argument("--out", default="/tmp/mh_result.json")
     args = ap.parse_args()
     if args.worker >= 0:
-        worker(args.worker, args.nprocs, args.slots, args.out)
+        worker(args.worker, args.nprocs, args.slots, args.out,
+               depth=args.depth, nof_rb=args.rb, port=args.port)
         return
 
     env = dict(os.environ)
-    results = {}
-    for nprocs in (1, args.procs):
-        out = f"/tmp/mh_result_{nprocs}.json"
+
+    def launch(nprocs, depth, port):
+        out = f"/tmp/mh_result_{nprocs}_{depth}.json"
         procs = [subprocess.Popen(
             ((["taskset", "-c", str(p % (os.cpu_count() or 1))]
               if args.pin else [])
              + [sys.executable, os.path.abspath(__file__), "--worker",
                 str(p), "--nprocs", str(nprocs), "--slots", str(args.slots),
-                "--out", out]), env=env) for p in range(nprocs)]
-        rcs = [p.wait(timeout=900) for p in procs]
+                "--depth", str(depth), "--rb", str(args.rb),
+                "--port", str(port), "--out", out]), env=env)
+            for p in range(nprocs)]
+        rcs = [p.wait(timeout=1800) for p in procs]
         assert rcs == [0] * nprocs, rcs
-        results[nprocs] = json.load(open(out))
+        return json.load(open(out))
+
+    if args.depth_sweep:
+        depths = [int(d) for d in args.depth_sweep.split(",")]
+        curve = {}
+        port = args.port
+        for d in depths:
+            base = launch(1, d, port)
+            port += 1
+            multi = launch(args.procs, d, port)
+            port += 1
+            eff = multi["cells_per_s"] / (args.procs * base["cells_per_s"])
+            curve[str(d)] = {
+                "cells_per_s_1p": base["cells_per_s"],
+                "cells_per_s_np": multi["cells_per_s"],
+                "efficiency": round(eff, 3)}
+            print(f"depth {d}: eff {eff:.3f} "
+                  f"(1p {base['cells_per_s']}, "
+                  f"{args.procs}p {multi['cells_per_s']})")
+        best = max(curve.values(), key=lambda v: v["efficiency"])
+        summary = {
+            "mode": "depth_sweep",
+            "procs": args.procs,
+            "nof_rb": args.rb,
+            "slots": args.slots,
+            "pinned": args.pin,
+            "depth_curve": curve,
+            "best_efficiency": best["efficiency"],
+            "target": 0.8,
+            "caveat": ("in-flight depth bounds outstanding slots per "
+                       "process (max_processing_delay_slots analogue); "
+                       "Gloo-TCP-loopback DCN on a 2-core host — real "
+                       "multi-host TPU DCN does not share cores or a "
+                       "loopback NIC"),
+        }
+        path = os.path.join(REPO, "MULTIHOST_SCALING.json")
+        with open(path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print("best efficiency:", best["efficiency"])
+        print("written:", path)
+        return
+
+    results = {}
+    for nprocs in (1, args.procs):
+        results[nprocs] = launch(nprocs, args.depth, args.port + nprocs)
 
     base, multi = results[1], results[args.procs]
     eff = multi["cells_per_s"] / (args.procs * base["cells_per_s"])
@@ -168,6 +246,8 @@ def main():
         "cells_per_s": {str(k): v["cells_per_s"] for k, v in results.items()},
         "weak_scaling_efficiency": round(eff, 3),
         "target": 0.8,
+        "depth": args.depth,
+        "nof_rb": args.rb,
         "pinned": args.pin,
         "caveat": ("each process pinned to its own core: cores-per-process "
                    "constant, efficiency measures DCN/framework overhead"
