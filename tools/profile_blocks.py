@@ -51,12 +51,29 @@ def main():
     dl_args = ((jnp.asarray(rng.integers(0, 2, 24).astype(np.int8)),), (),
                (jnp.asarray(rng.integers(0, 2, tbs_dl).astype(np.int8)),))
 
-    pusch = PuschConfig(rnti=0x17, rb_start=0, rb_count=rb, first_symbol=0,
+    # UL plan mirrors bench.py's full mix: PUSCH + PRACH occasion + SRS
+    from srsran_tpu.phy.upper.prach import PrachConfig, generate as prach_gen
+    from srsran_tpu.phy.upper.srs import SrsConfig
+    pusch = PuschConfig(rnti=0x17, rb_start=0, rb_count=rb - 4,
+                        first_symbol=0,
                         nof_symbols=14, modulation="qam64",
                         target_code_rate=0.7, tbs=tbs_ul,
                         nof_layers=min(2, cell.nof_ports), n_id=1,
                         dmrs_symbols=(2, 7, 11))
-    ul = ul_slot_fn(cell, ((pusch,), (), (), (), ()))
+    prach_cfg = PrachConfig(format="B4", root_sequence_index=39,
+                            zero_correlation_zone=10, ra_scs_hz=30_000)
+    srs_cfg = SrsConfig(rb_start=rb - 4, rb_count=4, start_symbol=13,
+                        nof_symbols=1, comb=2, comb_offset=0,
+                        cyclic_shift=0, nof_ports=1, sequence_id=1,
+                        numerology=1, rnti=0x17)
+    tx_pre = np.asarray(prach_gen(prach_cfg, 21))
+    k = np.arange(prach_cfg.l_ra)
+    ramp = np.exp(-2j * np.pi * k * prach_cfg.scs_hz * 2e-6)
+    fd = np.stack([g * tx_pre * ramp
+                   for g in np.linspace(0.9, 0.6, cell.nof_ports)])[:, None]
+    fd = np.tile(fd, (1, 12, 1)).astype(np.complex64)
+    prach_fd = (jnp.asarray(fd),)
+    ul = ul_slot_fn(cell, ((pusch,), (), (), (), (prach_cfg,), (srs_cfg,)))
     seg = segment_tb(tbs_ul, select_base_graph(tbs_ul, 0.7))
     softs = (jnp.zeros((seg.nof_codeblocks, seg.codeword_bits), jnp.float32),)
 
@@ -68,8 +85,8 @@ def main():
     for line in device_metrics.report_lines(agg, args.iters):
         print("  " + line)
 
-    print(f"== UL slot ({rb} RB) ==")
-    agg = device_metrics.profile_blocks(ul, samples, (), softs,
+    print(f"== UL slot ({rb} RB, PUSCH+PRACH+SRS) ==")
+    agg = device_metrics.profile_blocks(ul, samples, prach_fd, softs,
                                         iters=args.iters)
     for line in device_metrics.report_lines(agg, args.iters):
         print("  " + line)
