@@ -16,14 +16,15 @@ CPU in a subprocess (resolve_validation).
 Workloads measured (all copy-free):
   value                — raw jitted slot programs: DL (PDCCH + 4-layer
                          256QAM PDSCH over 273 RB, SSB on its real 20 ms
-                         period = every 40th slot) + UL (273-RB 2-layer
-                         QAM64 PUSCH with CRC-verified decode + PUCCH F1),
-                         packed indication outputs.  Launch args are
-                         pre-resolved per slot phase; the loop measures the
-                         device pipeline.
+                         period = every 40th slot) + UL (269-RB 2-layer
+                         QAM64 PUSCH with CRC-verified decode + PUCCH F1 +
+                         a 64-preamble B4 PRACH occasion + SRS — the full
+                         UL mix), packed indication outputs.  Launch args
+                         are pre-resolved per slot phase; the loop measures
+                         the device pipeline.
   conductor_us_per_slot— the SAME slots driven through the FAPI deployment
                          path: SlotConductor.process_slot (phase cache,
-                         packed-byte payloads staged 2 slots per H2D, one
+                         packed-byte payloads staged 8 slots per H2D, one
                          fused DL+UL dispatch per slot).  MAC-side message
                          construction is prebuilt, as in the reference's
                          translator timing (fapi_to_phy_translator.cpp:333).

@@ -183,6 +183,8 @@ def main():
 
     def launch(nprocs, depth, port):
         out = f"/tmp/mh_result_{nprocs}_{depth}.json"
+        if os.path.exists(out):
+            os.remove(out)
         procs = [subprocess.Popen(
             ((["taskset", "-c", str(p % (os.cpu_count() or 1))]
               if args.pin else [])
@@ -192,7 +194,14 @@ def main():
                 "--port", str(port), "--out", out]), env=env)
             for p in range(nprocs)]
         rcs = [p.wait(timeout=1800) for p in procs]
-        assert rcs == [0] * nprocs, rcs
+        # XLA:CPU intermittently SIGABRTs in thread-pool teardown AFTER the
+        # measurement completed and the result was written; the result file
+        # (written post-measure, pre-teardown) is the success signal.
+        if not os.path.exists(out):
+            raise AssertionError(f"workers failed rcs={rcs}, no result")
+        if rcs != [0] * nprocs:
+            print(f"note: worker teardown rcs={rcs} (result file present, "
+                  "accepted)")
         return json.load(open(out))
 
     if args.depth_sweep:
