@@ -260,7 +260,9 @@ def main():
                         bb.push_dl(bb.current_slot,
                                    np.zeros_like(ue_np))   # rx-only tick
                         bb.tick()
-                        ue_tx = jnp.asarray(bb_stash["samples"])
+                        from srsran_tpu.utils.transfer import \
+                            device_put_complex
+                        ue_tx = device_put_complex(bb_stash["samples"])
                         prach_fds = tuple(bb_stash.get("prach_fd", ()))
                         if len(prach_fds) < len(ul.prach):
                             # a window straddling the slot boundary has not

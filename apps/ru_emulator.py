@@ -59,7 +59,8 @@ def run(endpoint, nof_ports: int, nof_prb: int, nof_slots: int,
                 tgt = ota.count // ota.nof_symbols
                 spf = 10 * (1 << numerology)
                 sif = tgt % spf
-                ru.send_dl_grid(jnp.asarray(g),
+                from srsran_tpu.utils.transfer import device_put_complex
+                ru.send_dl_grid(device_put_complex(g),
                                 slot=sif % (1 << numerology),
                                 subframe=sif >> numerology,
                                 frame_id=(tgt // spf) % 256, direction=0)

@@ -102,8 +102,15 @@ s, pend = cond.process_slot(dl, ul, st, 0, rx)
 jax.block_until_ready((s, pend.scalars))
 t0 = time.time()
 res = pend.resolve()
-ms = (time.time() - t0) * 1e3
+first_s = time.time() - t0
 assert res.crc[0].tb_crc_ok, "probe CRC failed"
+# steady state: the first d2h pays a large one-time tunnel init
+_, pend2 = cond.process_slot(dl, ul, st, 0, rx)
+t0 = time.time()
+res2 = pend2.resolve()
+ms = (time.time() - t0) * 1e3
+assert res2.crc[0].tb_crc_ok
+print("resolve-first", round(first_s, 2), flush=True)
 print("resolve-ok", round(ms, 2), flush=True)
 """
 
@@ -180,6 +187,48 @@ def _run(result, errors, stage):
         # program compiles (safe on the TPU path so far; see CLAUDE.md)
         os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                               os.path.join(repo0, ".jax_cache"))
+    repo = repo0
+
+    # ---- probes FIRST: subprocesses need the tunnel before this process
+    # initializes the backend (the tunnel serves one process at a time;
+    # child init + relay compile alone costs ~1-2 min) -------------------
+    def probe_d2h():
+        r = subprocess.run([sys.executable, "-c", D2H_PROBE], timeout=240,
+                           capture_output=True, text=True, cwd=repo)
+        return "d2h-ok" in r.stdout
+
+    can_resolve = bool(stage("d2h_probe", probe_d2h, False))
+    result["d2h_computed_outputs"] = can_resolve
+
+    # ---- on-device indication resolve proof (VERDICT r4 #6): a THROWAWAY
+    # subprocess drives ONE warm conductor slot on the real device and
+    # resolves its indications BEFORE this process touches the tunnel —
+    # a d2h can flip the tunnel into slow sync mode for the rest of its
+    # process (CLAUDE.md), so the proof must not share our process. ------
+    def resolve_probe():
+        r = subprocess.run([sys.executable, "-c", RESOLVE_PROBE],
+                           timeout=420, capture_output=True, text=True,
+                           cwd=repo, env=dict(
+                               os.environ,
+                               JAX_COMPILATION_CACHE_DIR=os.path.join(
+                                   repo, ".jax_cache")))
+        first = steady = None
+        for line in r.stdout.splitlines():
+            if line.startswith("resolve-first"):
+                first = float(line.split()[1])
+            if line.startswith("resolve-ok"):
+                steady = float(line.split()[1])
+        if steady is None:
+            raise RuntimeError(
+                f"rc={r.returncode} out={r.stdout[-150:]} "
+                f"err={r.stderr[-150:]}")
+        return first, steady
+
+    rp = stage("resolve_probe", resolve_probe)
+    if rp is not None:
+        result["resolve_first_s"] = round(rp[0], 2)
+        result["resolve_probe_ms"] = round(rp[1], 2)
+
     import jax
     import jax.numpy as jnp
     from srsran_tpu.phy.slot_programs import (CellConfig, dl_slot_fn,
@@ -200,39 +249,6 @@ def _run(result, errors, stage):
     nof_batches = int(os.environ.get("BENCH_BATCHES", "3"))
     ssb_period_slots = 40          # 20 ms at 30 kHz SCS
     repo = os.path.dirname(os.path.abspath(__file__))
-
-    # ---- d2h capability probe (throwaway subprocess; the tunnel hangs on
-    # fetching computed outputs, so never attempt one in THIS process until
-    # a child proves it works) --------------------------------------------
-    def probe_d2h():
-        r = subprocess.run([sys.executable, "-c", D2H_PROBE], timeout=60,
-                           capture_output=True, text=True, cwd=repo)
-        return "d2h-ok" in r.stdout
-
-    can_resolve = bool(stage("d2h_probe", probe_d2h, False))
-    result["d2h_computed_outputs"] = can_resolve
-
-    # ---- on-device indication resolve proof (VERDICT r4 #6): a THROWAWAY
-    # subprocess drives ONE warm conductor slot on the real device and
-    # resolves its indications BEFORE this process touches the tunnel —
-    # a d2h can flip the tunnel into slow sync mode for the rest of its
-    # process (CLAUDE.md), so the proof must not share our process. ------
-    def resolve_probe():
-        r = subprocess.run([sys.executable, "-c", RESOLVE_PROBE],
-                           timeout=420, capture_output=True, text=True,
-                           cwd=repo, env=dict(
-                               os.environ,
-                               JAX_COMPILATION_CACHE_DIR=os.path.join(
-                                   repo, ".jax_cache")))
-        for line in r.stdout.splitlines():
-            if line.startswith("resolve-ok"):
-                return float(line.split()[1])
-        raise RuntimeError(
-            f"rc={r.returncode} out={r.stdout[-150:]} err={r.stderr[-150:]}")
-
-    rp = stage("resolve_probe", resolve_probe)
-    if rp is not None:
-        result["resolve_probe_ms"] = round(rp, 2)
 
     # ---- flagship cell: 100 MHz @ 30 kHz SCS, 4 ports -------------------
     cell = CellConfig(nof_ports=4, nof_rb=273, dft_size=4096, numerology=1)
@@ -259,7 +275,7 @@ def _run(result, errors, stage):
     # 12-repetition short format) and one SRS PDU EVERY UL slot — stricter
     # than a deployment's PRACH periodicity; the correlation + IDFT cost
     # (prach_detector_generic_impl.cpp:101-149) is in the headline number.
-    from srsran_tpu.phy.upper.prach import PrachConfig, generate as prach_gen
+    from srsran_tpu.phy.upper.prach import PrachConfig
     from srsran_tpu.phy.upper.srs import SrsConfig, map_to_grid as map_srs
     prach_cfg = PrachConfig(format="B4", root_sequence_index=39,
                             zero_correlation_zone=10, ra_scs_hz=30_000)
@@ -332,16 +348,29 @@ def _run(result, errors, stage):
     ul_payload = jnp.asarray(
         rng.integers(0, 2, pusch.tbs).astype(np.int8))
     _, ue_grid = ue_fn((), (), (ul_payload,))
-    # the UE also sounds: SRS in the top PRBs at symbol 13
+    # the UE also sounds: SRS in the top PRBs at symbol 13.  The SRS
+    # scatter + re-OFDM run as ONE jitted program — eager ops (and any
+    # np.asarray d2h) are unimplemented/fatal on the axon tunnel.
     from srsran_tpu.ops import ofdm as _ofdm
-    ue_grid = map_srs(ue_grid, srs_cfg)
-    rx = _ofdm.modulate_slot(ue_grid, cell.dft_size, cell.numerology,
-                             center_freq_hz=cell.center_freq_hz)
+
+    @jax.jit
+    def _ue_with_srs(g):
+        return _ofdm.modulate_slot(map_srs(g, srs_cfg), cell.dft_size,
+                                   cell.numerology,
+                                   center_freq_hz=cell.center_freq_hz)
+
+    rx = _ue_with_srs(ue_grid)
     rx.block_until_ready()
     # PRACH occasion capture: the B4 preamble through a 2 us delay channel
     # onto all rx ports, 12 repeated symbols (frequency-domain window the
-    # lower PHY's PRACH FSM delivers; phy/lower/prach_demod.py).
-    _tx_pre = np.asarray(prach_gen(prach_cfg, 21))
+    # lower PHY's PRACH FSM delivers; phy/lower/prach_demod.py).  Built in
+    # PURE NUMPY (prach.generate's internals) — no device roundtrip.
+    from srsran_tpu.phy.upper.prach import _root_set, zc_sequence
+    _roots, _pmap, _ = _root_set(prach_cfg)
+    _ri, _cs = _pmap[21]
+    _td = zc_sequence(_roots[_ri], prach_cfg.l_ra, _cs)
+    _tx_pre = (np.fft.fft(_td) / np.sqrt(prach_cfg.l_ra)).astype(
+        np.complex64)
     _k = np.arange(prach_cfg.l_ra)
     _ramp = np.exp(-2j * np.pi * _k * prach_cfg.scs_hz * 2e-6)
     _gains = np.linspace(0.9, 0.6, cell.nof_ports)
@@ -349,7 +378,9 @@ def _run(result, errors, stage):
     _fd = np.tile(_fd, (1, 12, 1))           # [P, 12 sym, L_RA]
     _fd = _fd + 0.05 * (rng.standard_normal(_fd.shape)
                         + 1j * rng.standard_normal(_fd.shape))
-    prach_fd = (jnp.asarray(_fd.astype(np.complex64)),)
+    # complex64 h2d breaks the tunnel's d2h path: upload as float planes
+    from srsran_tpu.utils.transfer import device_put_complex
+    prach_fd = (device_put_complex(_fd.astype(np.complex64)),)
     jax.block_until_ready(prach_fd)
 
     # ---- raw slot programs: pre-resolve every phase's (fn, args) ---------

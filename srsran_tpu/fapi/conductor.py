@@ -44,6 +44,7 @@ from .messages import (DlTtiRequest, TxDataRequest, UlTtiRequest, UlDciRequest,
                        UciIndicationPdu, RachIndicationPreamble,
                        SrsIndicationPdu)
 from ..utils import sanitize
+from ..utils.transfer import device_put_complex as _dputc
 
 
 def _norm(cfg, **zero_fields):
@@ -67,13 +68,16 @@ def _dev(kind: str, cfg) -> tuple:
     """Slot-context arrays, computed on HOST and uploaded once per distinct
     (kind, cfg): sequence VALUES (pilots/weights), not c_init seeds — the
     device programs then contain zero Gold/trig ops on the slot-varying
-    path.  Slot indices cycle, so the cache amortizes to zero host work."""
+    path.  Slot indices cycle, so the cache amortizes to zero host work.
+    Complex values upload as float32 planes + on-device combine
+    (utils/transfer): a complex64 h2d permanently breaks the tunnel's
+    d2h path (measured r5)."""
     if kind == "ssb":
-        return tuple(jnp.asarray(x) for x in ssb_mod.slot_ctx_for(cfg))
+        return tuple(_dputc(x) for x in ssb_mod.slot_ctx_for(cfg))
     if kind == "pdcch":
-        return jnp.asarray(pdcch_mod.dmrs_values_for(cfg))
+        return _dputc(pdcch_mod.dmrs_values_for(cfg))
     if kind == "pdsch":
-        return jnp.asarray(dmrs_mod.pilot_values_for(pdsch_mod.dmrs_config(cfg)))
+        return _dputc(dmrs_mod.pilot_values_for(pdsch_mod.dmrs_config(cfg)))
     if kind == "pm":
         # Per-PRG precoding matrices resolved through the codebook
         # repository (precoding_matrix_repository.cpp analogue): PM indices
@@ -82,7 +86,7 @@ def _dev(kind: str, cfg) -> tuple:
         nof_ports, pre = cfg
         if pre is None:
             return None
-        return jnp.asarray(precoding_codebooks.resolve_matrices(
+        return _dputc(precoding_codebooks.resolve_matrices(
             nof_ports, pre))
     if kind == "ptrs":
         if cfg.ptrs is None:
@@ -94,22 +98,22 @@ def _dev(kind: str, cfg) -> tuple:
             freq_density=cfg.ptrs.freq_density, re_offset=cfg.ptrs.re_offset,
             port=cfg.ptrs.port, scrambling_id=cfg.dmrs_scrambling_id,
             n_scid=cfg.n_scid, slot_in_frame=cfg.slot_in_frame)
-        return jnp.asarray(ptrs_prs_mod.ptrs_values_for(pc))
+        return _dputc(ptrs_prs_mod.ptrs_values_for(pc))
     if kind == "csi":
-        return jnp.asarray(csi_rs_mod.seq_values_for(cfg))
+        return _dputc(csi_rs_mod.seq_values_for(cfg))
     if kind == "prs":
-        return jnp.asarray(ptrs_prs_mod.prs_values_for(cfg))
+        return _dputc(ptrs_prs_mod.prs_values_for(cfg))
     if kind == "pusch":
-        return jnp.asarray(dmrs_mod.pilot_values_for(pusch_mod.dmrs_config(cfg)))
+        return _dputc(dmrs_mod.pilot_values_for(pusch_mod.dmrs_config(cfg)))
     if kind == "f0":
-        return jnp.asarray(pucch_mod.f0_refs_for(cfg))
+        return _dputc(pucch_mod.f0_refs_for(cfg))
     if kind == "f1":        # cfg = (common, users)
-        return tuple(tuple(jnp.asarray(w) for w in hop)
+        return tuple(tuple(_dputc(w) for w in hop)
                      for hop in pucch_mod.f1_batch_weights(cfg[0], cfg[1]))
     if kind == "f2":
-        return jnp.asarray(pucch_mod.f2_pilot_values_for(cfg))
+        return _dputc(pucch_mod.f2_pilot_values_for(cfg))
     if kind == "f3":
-        return jnp.asarray(pucch_mod.f3_dmrs_values_for(cfg))
+        return _dputc(pucch_mod.f3_dmrs_values_for(cfg))
     raise KeyError(kind)
 
 
