@@ -110,13 +110,19 @@ def _root_fd(cfg: PrachConfig) -> np.ndarray:
     return fd.astype(np.complex64)
 
 
-def generate(cfg: PrachConfig, preamble: int) -> jnp.ndarray:
-    """Frequency-domain preamble [L] for one preamble index (UE side / tests)."""
+def generate_np(cfg: PrachConfig, preamble: int) -> np.ndarray:
+    """Frequency-domain preamble [L], pure numpy (no device transfer —
+    a complex64 h2d breaks the tunnel's d2h path, utils/transfer)."""
     roots, pmap, _ = _root_set(cfg)
     root_idx, cs = pmap[cfg.start_preamble + preamble]
     td = zc_sequence(roots[root_idx], cfg.l_ra, cs)
     fd = np.fft.fft(td) / np.sqrt(cfg.l_ra)
-    return jnp.asarray(fd.astype(np.complex64))
+    return fd.astype(np.complex64)
+
+
+def generate(cfg: PrachConfig, preamble: int) -> jnp.ndarray:
+    """Frequency-domain preamble [L] for one preamble index (UE side / tests)."""
+    return jnp.asarray(generate_np(cfg, preamble))
 
 
 def cp_seq_samples(cfg: PrachConfig) -> float:

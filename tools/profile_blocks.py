@@ -52,7 +52,7 @@ def main():
                (jnp.asarray(rng.integers(0, 2, tbs_dl).astype(np.int8)),))
 
     # UL plan mirrors bench.py's full mix: PUSCH + PRACH occasion + SRS
-    from srsran_tpu.phy.upper.prach import PrachConfig, generate as prach_gen
+    from srsran_tpu.phy.upper.prach import PrachConfig, generate_np
     from srsran_tpu.phy.upper.srs import SrsConfig
     pusch = PuschConfig(rnti=0x17, rb_start=0, rb_count=rb - 4,
                         first_symbol=0,
@@ -66,18 +66,36 @@ def main():
                         nof_symbols=1, comb=2, comb_offset=0,
                         cyclic_shift=0, nof_ports=1, sequence_id=1,
                         numerology=1, rnti=0x17)
-    tx_pre = np.asarray(prach_gen(prach_cfg, 21))
+    tx_pre = generate_np(prach_cfg, 21)
     k = np.arange(prach_cfg.l_ra)
     ramp = np.exp(-2j * np.pi * k * prach_cfg.scs_hz * 2e-6)
     fd = np.stack([g * tx_pre * ramp
                    for g in np.linspace(0.9, 0.6, cell.nof_ports)])[:, None]
     fd = np.tile(fd, (1, 12, 1)).astype(np.complex64)
-    prach_fd = (jnp.asarray(fd),)
+    from srsran_tpu.utils.transfer import device_put_complex
+    prach_fd = (device_put_complex(fd),)
     ul = ul_slot_fn(cell, ((pusch,), (), (), (), (prach_cfg,), (srs_cfg,)))
     seg = segment_tb(tbs_ul, select_base_graph(tbs_ul, 0.7))
     softs = (jnp.zeros((seg.nof_codeblocks, seg.codeword_bits), jnp.float32),)
 
     samples, _ = dl(*dl_args)
+    # a VALID PUSCH waveform (UE-side TX + SRS) so the LDPC decoder
+    # early-stops like the deployment path — profiling the DL waveform as
+    # UL input would CRC-fail and always run all 6 sweeps
+    from srsran_tpu.ops import ofdm as ofdm_mod
+    from srsran_tpu.phy.upper.srs import map_to_grid as map_srs
+    ue_cfg = PdschConfig(rnti=pusch.rnti, rb_start=0, rb_count=rb - 4,
+                         first_symbol=0, nof_symbols=14, modulation="qam64",
+                         target_code_rate=0.7, tbs=tbs_ul,
+                         nof_layers=pusch.nof_layers, n_id=1,
+                         dmrs_symbols=(2, 7, 11))
+    ue_fn = dl_slot_fn(cell, ((), (), (ue_cfg,), ()))
+    import jax
+    _, ue_grid = ue_fn((), (), (jnp.asarray(
+        np.random.default_rng(1).integers(0, 2, tbs_ul).astype(np.int8)),))
+    ul_rx = jax.jit(lambda g: ofdm_mod.modulate_slot(
+        map_srs(g, srs_cfg), cell.dft_size, cell.numerology,
+        center_freq_hz=cell.center_freq_hz))(ue_grid)
 
     print(f"== DL slot ({rb} RB, {cell.nof_ports} ports), "
           f"{args.iters} iters ==")
@@ -86,7 +104,7 @@ def main():
         print("  " + line)
 
     print(f"== UL slot ({rb} RB, PUSCH+PRACH+SRS) ==")
-    agg = device_metrics.profile_blocks(ul, samples, prach_fd, softs,
+    agg = device_metrics.profile_blocks(ul, ul_rx, prach_fd, softs,
                                         iters=args.iters)
     for line in device_metrics.report_lines(agg, args.iters):
         print("  " + line)
