@@ -8,8 +8,13 @@ lib/scheduler/cell/cell_harq_manager.*).  The full reference scheduler is
 40k LoC of C++; this is the deployable core the SURVEY north star calls
 for — a thin host driver that feeds the TPU PHY FAPI-shaped slot requests:
 
-- per-slot ordering: SSB -> SIB1 -> PRACH occasions -> RAR -> UE DL/UL
-  (the reference's run_slot sequence, minus paging/slicing);
+- per-slot ordering: SSB -> SIB1 -> paging -> PRACH occasions -> RAR ->
+  UE DL/UL (the reference's run_slot sequence; slicing is carried by the
+  time-QoS policy's qos_weight quotas + the E2SM-RC weight control);
+- paging (paging_scheduler analogue): page_ue() enqueues a 5G-S-TMSI;
+  records transmit in a P-RNTI PDSCH on the UE's paging frame per the
+  TS38.304 PF formula (SFN mod T == (T div N)(UE_ID mod N)) at the
+  configured paging occasion slot;
 - time-domain round robin over UEs with pending data, HARQ
   retransmissions first (scheduler_time_rr semantics);
 - HARQ entities with 8+8 processes per UE, rv sequence (0, 2, 3, 1),
@@ -202,7 +207,8 @@ class CellScheduler:
                  prach_period_slots: int = 40, max_harq_retx: int = 4,
                  link_adaptation: bool = True, seed: int = 0,
                  policy: str = "time_rr", csi_period_slots: int = 0,
-                 dl_prg_size: int = 4):
+                 dl_prg_size: int = 4, paging_drx_frames: int = 32,
+                 paging_nof_pf: int = 4, paging_po_slot: int = 1):
         self.cell = cell
         self.pci = phys_cell_id
         self.tdd = tdd or TddPattern()
@@ -236,6 +242,12 @@ class CellScheduler:
         self.csi_cfg = (csi_mod.CsiReportConfig(pmi_codebook=cb)
                         if cb is not None else None)
         self._csi_owners: dict[int, list[int]] = {}
+        # Paging (TS38.304 §7.1): DRX cycle T frames, N paging frames per
+        # cycle, fixed PO slot (paging_scheduler analogue).
+        self.paging_drx_frames = paging_drx_frames
+        self.paging_nof_pf = max(1, min(paging_nof_pf, paging_drx_frames))
+        self.paging_po_slot = paging_po_slot
+        self._paging_queue: list[int] = []
         self._next_tc_rnti = 0x4601 + len(self.ues)
         self._dmrs_dl = (2, 11)
         self._dmrs_ul = (2, 7, 11)
@@ -283,6 +295,43 @@ class CellScheduler:
             dl_pdcch.append(self._dci_for(0xFFFF, len(dl_pdcch)))
             dcis.append(self.rng.integers(0, 2, 40).astype(np.int8))
             used_rb_dl += si_rb
+
+        # Paging occasion (paging_scheduler analogue): one P-RNTI PDSCH
+        # carrying every due record on this UE group's paging frame.
+        if is_dl and self._paging_queue \
+                and slot.slot_index == self.paging_po_slot:
+            t, n = self.paging_drx_frames, self.paging_nof_pf
+            due = [uid for uid in self._paging_queue
+                   if slot.sfn % t == (t // n) * (uid % n)]
+            if due:
+                pg_rb = min(6, self.cell.nof_rb - used_rb_dl)
+                if pg_rb > 0:
+                    # 48-bit 5G-S-TMSI record per paged UE (RRC paging)
+                    rec_bits = 48 * len(due)
+                    from ..ran.mcs_tbs import TBS_TABLE_38214
+                    tbs_pg = next(v for v in TBS_TABLE_38214
+                                  if v >= rec_bits + 16)
+                    cfg = PdschConfig(
+                        rnti=0xFFFE, rb_start=used_rb_dl, rb_count=pg_rb,
+                        first_symbol=1, nof_symbols=12, modulation="qpsk",
+                        target_code_rate=0.12, tbs=tbs_pg, nof_layers=1,
+                        n_id=self.pci, dmrs_symbols=self._dmrs_dl,
+                        dmrs_scrambling_id=self.pci,
+                        numerology=self.cell.numerology,
+                        slot_in_frame=slot.slot_index)
+                    rec = np.zeros(tbs_pg, np.int8)
+                    for i, uid in enumerate(due):
+                        for b in range(48):
+                            rec[48 * i + b] = (uid >> (47 - b)) & 1
+                    dl_pdsch.append(cfg)
+                    payloads.append(rec)
+                    dl_pdcch.append(self._dci_for(0xFFFE, len(dl_pdcch)))
+                    dcis.append(self.rng.integers(0, 2, 40).astype(np.int8))
+                    used_rb_dl += pg_rb
+                    self._paging_queue = [u for u in self._paging_queue
+                                          if u not in due]
+                    self.counters["paging_tx"] = \
+                        self.counters.get("paging_tx", 0) + len(due)
 
         # RAR for pending RA events (ra_scheduler analogue): DL PDSCH with
         # RA-RNTI carrying the Msg3 grant; creates the UE context.
@@ -725,6 +774,12 @@ class CellScheduler:
     #: ra_sched limits); an unbounded flood would otherwise inflate the
     #: slot plans (one RAR PDSCH per event) without bound.
     MAX_PENDING_RA = 16
+
+    def page_ue(self, ue_id_5g: int) -> None:
+        """Enqueue a paging record (48-bit 5G-S-TMSI); it transmits in a
+        P-RNTI PDSCH on the UE's paging frame (mac paging_information
+        handler analogue)."""
+        self._paging_queue.append(int(ue_id_5g) & ((1 << 48) - 1))
 
     def handle_rach(self, preamble_index: int) -> int:
         """RACH indication -> RA event + TC-RNTI (mac_rach_handler).

@@ -246,3 +246,44 @@ def test_prach_guard_band_reserved_from_pusch():
     for s, dl, tx, ul in run_slots(sched, 8):
         for pu in ul.pusch:
             assert pu.rb_start >= guard, (pu.rb_start, guard)
+
+
+def test_paging_occasion_pf_formula():
+    """page_ue -> P-RNTI PDSCH on the UE's paging frame only
+    (paging_scheduler analogue; TS38.304 PF formula)."""
+    from srsran_tpu.mac.scheduler import CellScheduler, SchedUeConfig
+    from srsran_tpu.phy.slot_programs import CellConfig
+    from srsran_tpu.ran.slot_point import SlotPoint
+    from srsran_tpu.ran.tdd import TddPattern
+
+    cell = CellConfig(nof_rb=52, numerology=1, nof_ports=2, dft_size=1024)
+    sched = CellScheduler(
+        cell, 1, ues=[SchedUeConfig(rnti=0x4601, dl_buffer_bytes=0,
+                                    ul_buffer_bytes=0)],
+        tdd=TddPattern(periodicity_slots=2, nof_dl_slots=1, nof_ul_slots=1),
+        paging_drx_frames=8, paging_nof_pf=4, paging_po_slot=0)
+    sched.page_ue(0x123456789A)          # uid % 4 == 2 -> PF sfn%8==4
+    uid = 0x123456789A
+    pf = (8 // 4) * (uid % 4)
+    spf = 20                              # slots per frame at mu=1
+    paged_sfns = []
+    for count in range(0, 8 * spf):
+        slot = SlotPoint(1, count)
+        dl, tx, _ = sched.slot_indication(slot)
+        prntis = [p.rnti for p in dl.pdsch]
+        if 0xFFFE in prntis:
+            paged_sfns.append(slot.sfn)
+            i = prntis.index(0xFFFE)
+            assert dl.pdsch[i].modulation == "qpsk"
+            # the 48-bit record round-trips
+            bits = tx.pdsch_payloads[i][:48]
+            got = 0
+            for b in bits:
+                got = (got << 1) | int(b)
+            assert got == uid
+    assert paged_sfns == [pf]
+    assert sched.counters["paging_tx"] == 1
+    # queue drained: no repeat on the next cycle
+    for count in range(8 * spf, 16 * spf):
+        dl, _, _ = sched.slot_indication(SlotPoint(1, count))
+        assert 0xFFFE not in [p.rnti for p in dl.pdsch]
