@@ -286,11 +286,20 @@ def serve_phy(port: int = 0, host: str = "127.0.0.1",
                     continue
                 samples, _ = mgr.conductor.process_dl(body["dl"], body["tx"])
                 if body.get("want_samples"):
-                    send_msg(conn, "dl_samples", np.asarray(samples))
+                    # complex d2h is unsafe on the tunnel backend: fetch
+                    # float planes and recombine on host (utils/transfer)
+                    import jax
+                    import jax.numpy as jnp
+                    re_d, im_d = jax.jit(
+                        lambda v: (jnp.real(v), jnp.imag(v)))(samples)
+                    host = (np.asarray(re_d)
+                            + 1j * np.asarray(im_d)).astype(np.complex64)
+                    send_msg(conn, "dl_samples", host)
                 else:
                     samples.block_until_ready()
             elif t == "rx_samples":
-                pending_samples = body
+                from ..utils.transfer import device_put_complex
+                pending_samples = device_put_complex(body)
             elif t == "ul_tti":
                 if gate(t, body["ul"].slot) is not None:
                     continue
