@@ -200,7 +200,12 @@ def main():
                                  bool(c.tb_crc_ok), c.snr_db)
         kpm["ul_prb_slots"] += sum(p.rb_count for p in ul.pusch)
         if use_sched:
-            sched.handle_uci_indications(launch_count, res.uci)
+            pusch_uci = [u for u in res.uci if u.source == "pusch"]
+            for u in pusch_uci:
+                if u.csi_bits is not None:
+                    sched.handle_csi_pusch(u.rnti, u.csi_bits, u.csi2_bits)
+            sched.handle_uci_indications(
+                launch_count, [u for u in res.uci if u.source != "pusch"])
 
     for count in range(cfg.nof_slots):
         if stop_flag.is_set():
@@ -390,7 +395,15 @@ def _emulate_ue(cond, mac, ul, cfg, sched=None):
     rng = (sched.rng if sched is not None else mac.rng)
     harq_meta = ul.pusch_harq or tuple((0, True) for _ in ul.pusch)
     pd_cfgs, payloads = [], []
+    uci_pdus = []                  # (cfg, tb): PDUs with UCI ride ue_tx
     for pu, (hid, new) in zip(ul.pusch, harq_meta):
+        if sched is not None and (pu.uci.o_csi1 or pu.uci.o_ack):
+            key = (pu.rnti, hid)
+            if new or key not in _UE_HARQ_TBS                     or len(_UE_HARQ_TBS[key]) != pu.tbs:
+                _UE_HARQ_TBS[key] = rng.integers(
+                    0, 2, pu.tbs).astype(np.int8)
+            uci_pdus.append((pu, _UE_HARQ_TBS[key]))
+            continue
         pd_cfgs.append(PdschConfig(
             rnti=pu.rnti, rb_start=pu.rb_start, rb_count=pu.rb_count,
             first_symbol=pu.first_symbol, nof_symbols=pu.nof_symbols,
@@ -420,6 +433,33 @@ def _emulate_ue(cond, mac, ul, cfg, sched=None):
     slot_in_sf = ul.slot.subframe_slot_index
     fn = dl_slot_fn(ue_cell, plan, slot_in_sf)
     samples, grid = fn((), (), tuple(payloads), ctx)
+    if uci_pdus:
+        # CSI-on-PUSCH PDUs: UE packs the rank-restricted report and
+        # multiplexes it into the PUSCH codeword (phy/upper/ue_tx)
+        from srsran_tpu.phy.upper import ue_tx as ue_tx_mod
+        from srsran_tpu.ran import csi_report as csi_mod
+        for pu, tb in uci_pdus:
+            uec = sched.ues.get(pu.rnti)
+            cfg_r = uec.pusch_csi_cfg if uec is not None else None
+            csi1 = csi2 = None
+            if cfg_r is not None and pu.uci.o_csi1:
+                sinr = (cfg.channel_sinr_db
+                        if cfg.channel_profile != "none" else 30.0)
+                cqi = int(np.clip((sinr + 6.0) / 1.9, 1, 15))
+                rep = csi_mod.CsiReportData(
+                    ri=cfg_r.allowed_ranks()[0], wideband_cqi=cqi,
+                    i_1_1=pu.rnti % 8, i_2=pu.rnti % 2)
+                csi1, csi2 = csi_mod.pack(rep, cfg_r)
+                if csi2.size == 0:
+                    csi2 = None
+            g1 = ue_tx_mod.pusch_transmit(pu, tb, csi1=csi1, csi2=csi2,
+                                          nof_sc=cfg.cell.nof_sc)
+            grid = grid.at[:1].add(jnp.asarray(g1))
+        from srsran_tpu.ops import ofdm as _ofdm
+        samples = _ofdm.modulate_slot(
+            grid, cfg.cell.dft_size, cfg.cell.numerology,
+            slot_in_subframe=slot_in_sf,
+            center_freq_hz=cfg.cell.center_freq_hz)
     if sched is not None and (ul.pucch_f1 or ul.pucch_f2):
         # UE transmits ACKs on its PUCCH F1 occasions (bit 0 = ACK) and
         # packed wideband CSI reports on its F2 occasions, closing the DL

@@ -736,9 +736,11 @@ class SlotConductor:
             if uci_bits:
                 ack = uci_bits.get("harq_ack", (False, None))
                 csi1 = uci_bits.get("csi1", (False, None))
+                csi2 = uci_bits.get("csi2", (False, None))
                 res.uci.append(UciIndicationPdu(
                     rnti=cfg.rnti, detected=ack[0] or csi1[0],
-                    harq_bits=ack[1], csi_bits=csi1[1], metric=1.0))
+                    harq_bits=ack[1], csi_bits=csi1[1], metric=1.0,
+                    csi2_bits=csi2[1], source="pusch"))
             bits = payload[p0:p0 + cfg.tbs]
             p0 += cfg.tbs
             if ok:

@@ -130,9 +130,12 @@ class UciIndicationPdu:
     rnti: int
     detected: bool
     harq_bits: Optional[np.ndarray]
-    csi_bits: Optional[np.ndarray]
+    csi_bits: Optional[np.ndarray]          # CSI part 1 (or PUCCH payload)
     metric: float
     sr_bit: Optional[int] = None   # PUCCH F0 SR opportunity result
+    csi2_bits: Optional[np.ndarray] = None  # CSI part 2 (UCI on PUSCH)
+    source: str = "pucch"                   # 'pucch' | 'pusch' (uci.ind
+                                            # pduType in the reference)
 
 
 @dataclasses.dataclass

@@ -119,6 +119,8 @@ class UeContext:
         self.last_csi: "csi_mod.CsiReportData | None" = None
         # RIC-controlled MCS ceiling (E2SM-RC executor state); None = none
         self.mcs_cap: int | None = None
+        # rank-restricted report config of the last CSI-on-PUSCH request
+        self.pusch_csi_cfg = None
         # EWMA delivered rate (bits/slot) for the time-QoS PF metric
         self.avg_rate_dl = 1.0
         self.avg_rate_ul = 1.0
@@ -383,14 +385,42 @@ class CellScheduler:
                     slot.count % self.prach_period_slots == \
                     self.prach_period_slots - 1:
                 prach = (self.prach_cfg,)
-            # CSI occasions (uci_scheduler analogue): PUCCH F2 per UE on
-            # the csi period, top PRBs (below the F1 PRB), symbols 12-13.
-            if (self.csi_period_slots and self.csi_cfg is not None
-                    and slot.count % self.csi_period_slots
-                    == self.csi_period_slots - 1):
+            # CSI occasions (uci_scheduler analogue) on the csi period:
+            # a UE with a NEW PUSCH grant this slot carries the report ON
+            # PUSCH (UCI multiplexing on collision, the reference's ulsch
+            # mux: rank-restricted to the current rank so the part-2 size
+            # is static); the rest get a PUCCH F2 occasion on the top
+            # PRBs (below the F1 PRB), symbols 12-13.
+            csi_due = (self.csi_period_slots and self.csi_cfg is not None
+                       and slot.count % self.csi_period_slots
+                       == self.csi_period_slots - 1)
+            pusch, harq_meta = self._schedule_ul(
+                slot, reserved_top_rb=1 + (len(self.ues) if csi_due else 0))
+            on_pusch = set()
+            if csi_due:
+                from ..ran.uci_on_pusch import UciOnPuschConfig
+                for i, (cfg, (hid, new)) in enumerate(
+                        zip(pusch, harq_meta)):
+                    ue = self.ues.get(cfg.rnti)
+                    if not new or ue is None:
+                        continue
+                    rank = max(1, min(ue.dl_layers, self.cell.nof_ports))
+                    cfg_r = dataclasses.replace(
+                        self.csi_cfg, ri_restriction=1 << (rank - 1))
+                    cfg2 = dataclasses.replace(cfg, uci=UciOnPuschConfig(
+                        o_csi1=csi_mod.part1_size(cfg_r),
+                        o_csi2=csi_mod.part2_size(cfg_r, rank)))
+                    pusch[i] = cfg2
+                    ue.ul_harq[hid].cfg = cfg2
+                    ue.pusch_csi_cfg = cfg_r
+                    on_pusch.add(cfg.rnti)
+            if csi_due:
                 nbits = csi_mod.pucch_size(self.csi_cfg)
                 owners = []
-                for k, rnti in enumerate(sorted(self.ues)):
+                k = 0
+                for rnti in sorted(self.ues):
+                    if rnti in on_pusch:
+                        continue
                     rb0 = self.cell.nof_rb - 2 - k
                     if rb0 <= 0:
                         break
@@ -400,9 +430,8 @@ class CellScheduler:
                         n_id0=self.pci, nof_uci_bits=nbits,
                         slot=slot.slot_index))
                     owners.append(rnti)
+                    k += 1
                 self._csi_owners[slot.count] = owners
-            pusch, harq_meta = self._schedule_ul(
-                slot, reserved_top_rb=1 + len(pucch_f2))
             # one PUCCH F1 occasion per UE with a DL HARQ awaiting ACK
             # (simplified UCI allocator: shared PRB, distinct cyclic shifts)
             ics = 0
@@ -701,6 +730,25 @@ class CellScheduler:
                                            ue.cfg.mcs_table)
             ue.dl_layers = max(1, min(data.ri, self.cell.nof_ports, 4))
         self.counters["csi_reports"] = self.counters.get("csi_reports", 0) + 1
+
+    def handle_csi_pusch(self, rnti: int, csi1_bits,
+                         csi2_bits=None) -> None:
+        """Aperiodic CSI multiplexed on PUSCH -> DL link adaptation: the
+        report was requested rank-restricted to the UE's current rank, so
+        part sizes are static and the interpretation config is known."""
+        ue = self.ues.get(rnti)
+        if ue is None or ue.pusch_csi_cfg is None or csi1_bits is None:
+            return
+        try:
+            data = csi_mod.unpack(csi1_bits, csi2_bits, ue.pusch_csi_cfg)
+        except AssertionError:
+            return
+        ue.last_csi = data
+        if self.link_adaptation:
+            ue.dl_mcs = csi_mod.cqi_to_mcs(data.wideband_cqi,
+                                           ue.cfg.mcs_table)
+        self.counters["csi_reports"] = self.counters.get(
+            "csi_reports", 0) + 1
 
     def handle_crc(self, rnti: int, harq_id: int, crc_ok: bool,
                    snr_db: float | None = None):

@@ -100,14 +100,15 @@ def test_cqi_to_mcs_monotone_and_bounds():
 
 # ------------------------------------------------- scheduler adaptation
 
-def _mini_sched(nof_ports=4, csi_period=10):
+def _mini_sched(nof_ports=4, csi_period=10, ul_buffer=-1):
     from srsran_tpu.mac.scheduler import CellScheduler, SchedUeConfig
     from srsran_tpu.phy.slot_programs import CellConfig
     from srsran_tpu.ran.tdd import TddPattern
     cell = CellConfig(nof_rb=52, numerology=1, nof_ports=nof_ports,
                       dft_size=1024)
     return CellScheduler(
-        cell, 1, ues=[SchedUeConfig(rnti=0x4601, nof_layers_dl=2)],
+        cell, 1, ues=[SchedUeConfig(rnti=0x4601, nof_layers_dl=2,
+                                    ul_buffer_bytes=ul_buffer)],
         tdd=TddPattern(periodicity_slots=2, nof_dl_slots=1, nof_ul_slots=1),
         csi_period_slots=csi_period)
 
@@ -148,10 +149,11 @@ def test_scheduler_schedules_csi_occasions_and_routes_indications():
     from srsran_tpu.ran.slot_point import SlotPoint
     from srsran_tpu.phy.upper import pucch as pucch_mod
 
-    sched = _mini_sched(csi_period=2)
+    # no UL data -> no PUSCH grant -> the CSI stays on PUCCH F2
+    sched = _mini_sched(csi_period=2, ul_buffer=0)
     slot = SlotPoint(1, 1)          # UL slot, csi period hits
     _, _, ul = sched.slot_indication(slot)
-    assert len(ul.pucch_f2) == 1
+    assert not ul.pusch and len(ul.pucch_f2) == 1
     fc = ul.pucch_f2[0]
     assert fc.nof_uci_bits == csi.pucch_size(sched.csi_cfg)
     # UE side
@@ -172,3 +174,51 @@ def test_scheduler_schedules_csi_occasions_and_routes_indications():
     ue = sched.ues[0x4601]
     assert ue.dl_mcs == csi.cqi_to_mcs(4, "qam64")
     assert ue.last_csi.i_1_1 == 3 and ue.last_csi.ri == 1
+
+
+def test_csi_on_pusch_roundtrip_adapts_dl():
+    """Aperiodic CSI multiplexed ON PUSCH (rank-restricted request ->
+    static part sizes): scheduler grant carries o_csi1/o_csi2; UE packs
+    and multiplexes via ue_tx; conductor decodes; handle_csi_pusch steps
+    the DL MCS."""
+    import jax.numpy as jnp
+    from srsran_tpu.fapi.conductor import SlotConductor
+    from srsran_tpu.fapi.messages import UlTtiRequest
+    from srsran_tpu.phy.upper import ue_tx
+    from srsran_tpu.ran.slot_point import SlotPoint
+
+    sched = _mini_sched(csi_period=2)
+    cond = SlotConductor(sched.cell)
+    slot = SlotPoint(1, 1)             # UL slot, csi period hits
+    _, _, ul = sched.slot_indication(slot)
+    assert len(ul.pusch) == 1
+    pu = ul.pusch[0]
+    # the report moved onto PUSCH: sizes set, no F2 for this UE
+    assert pu.uci.o_csi1 == csi.part1_size(sched.ues[0x4601].pusch_csi_cfg)
+    assert pu.uci.o_csi2 > 0
+    assert not ul.pucch_f2
+    cfg_r = sched.ues[0x4601].pusch_csi_cfg
+    assert cfg_r.allowed_ranks() == (2,)       # rank-restricted
+    rep = csi.CsiReportData(ri=2, wideband_cqi=9, i_1_1=4, i_1_3=1, i_2=0)
+    b1, b2 = csi.pack(rep, cfg_r)
+    assert b1.size == pu.uci.o_csi1 and b2.size == pu.uci.o_csi2
+    rng = np.random.default_rng(0)
+    tb = rng.integers(0, 2, pu.tbs).astype(np.int8)
+    grid = ue_tx.pusch_transmit(pu, tb, csi1=b1, csi2=b2,
+                                nof_sc=sched.cell.nof_sc)
+    # 2 rx ports see the single-layer TX
+    rx_grid = jnp.concatenate([jnp.asarray(grid)] * sched.cell.nof_ports +
+                              [], axis=0)[:sched.cell.nof_ports]
+    from srsran_tpu.ops import ofdm
+    rx = ofdm.modulate_slot(rx_grid, sched.cell.dft_size,
+                            sched.cell.numerology,
+                            center_freq_hz=sched.cell.center_freq_hz)
+    res = cond.process_ul(ul, rx).resolve()
+    assert res.crc[0].tb_crc_ok
+    u = [x for x in res.uci if x.source == "pusch"][0]
+    np.testing.assert_array_equal(np.asarray(u.csi_bits), b1)
+    np.testing.assert_array_equal(np.asarray(u.csi2_bits), b2)
+    sched.handle_csi_pusch(u.rnti, u.csi_bits, u.csi2_bits)
+    ue = sched.ues[0x4601]
+    assert ue.dl_mcs == csi.cqi_to_mcs(9, "qam64")
+    assert ue.last_csi.i_1_1 == 4 and ue.last_csi.ri == 2
