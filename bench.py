@@ -496,11 +496,13 @@ def _run(result, errors, stage):
     print(f"BENCH_STAGE full_sweeps t={time.time() - T_START:.0f}s", file=sys.stderr)
 
     def full_sweeps():
-        key = jax.random.PRNGKey(1)
         shape = tuple(rx.shape)          # metadata only, no d2h
-        noise = (0.3 * (jax.random.normal(key, shape)
-                        + 1j * jax.random.normal(jax.random.PRNGKey(2),
-                                                 shape))).astype(jnp.complex64)
+        # eager complex arithmetic raises UNIMPLEMENTED on the tunnel and
+        # poisons d2h for the process: build the noise inside ONE jit
+        noise = jax.jit(lambda k1, k2: (0.3 * (
+            jax.random.normal(k1, shape)
+            + 1j * jax.random.normal(k2, shape))).astype(jnp.complex64))(
+                jax.random.PRNGKey(1), jax.random.PRNGKey(2))
         noise.block_until_ready()
         return run_batches(lambda i: launch_raw(i, noise), nof=20)
 
@@ -518,8 +520,10 @@ def _run(result, errors, stage):
                                 nof_tx_ports=4, nof_rx_ports=4,
                                 nof_subc=cell.nof_sc, scs_hz=60_000)
         rx_grid, _ = chan.run(jax.random.PRNGKey(7), ue_grid, ch)
-        rx_tdl = ofdm.modulate_slot(rx_grid, cell.dft_size, cell.numerology,
-                                    center_freq_hz=cell.center_freq_hz)
+        # jitted: eager complex ops are tunnel-fatal (see full_sweeps)
+        rx_tdl = jax.jit(lambda g: ofdm.modulate_slot(
+            g, cell.dft_size, cell.numerology,
+            center_freq_hz=cell.center_freq_hz))(rx_grid)
         rx_tdl.block_until_ready()
         return run_batches(lambda i: launch_raw(i, rx_tdl), nof=20)
 
