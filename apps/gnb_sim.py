@@ -202,7 +202,10 @@ def main():
         if use_sched:
             pusch_uci = [u for u in res.uci if u.source == "pusch"]
             for u in pusch_uci:
-                if u.csi_bits is not None:
+                # gate on the decode validity flag (like the F2 path's
+                # `detected`): garbage CSI at low SINR must not drive
+                # link adaptation to max MCS
+                if u.detected and u.csi_bits is not None:
                     sched.handle_csi_pusch(u.rnti, u.csi_bits, u.csi2_bits)
             sched.handle_uci_indications(
                 launch_count, [u for u in res.uci if u.source != "pusch"])
@@ -454,12 +457,11 @@ def _emulate_ue(cond, mac, ul, cfg, sched=None):
                     csi2 = None
             g1 = ue_tx_mod.pusch_transmit(pu, tb, csi1=csi1, csi2=csi2,
                                           nof_sc=cfg.cell.nof_sc)
-            grid = grid.at[:1].add(jnp.asarray(g1))
-        from srsran_tpu.ops import ofdm as _ofdm
-        samples = _ofdm.modulate_slot(
-            grid, cfg.cell.dft_size, cfg.cell.numerology,
-            slot_in_subframe=slot_in_sf,
-            center_freq_hz=cfg.cell.center_freq_hz)
+            from srsran_tpu.utils.transfer import device_put_complex
+            grid = grid.at[:1].add(device_put_complex(g1))
+        grid_dirty = True
+    else:
+        grid_dirty = False
     if sched is not None and (ul.pucch_f1 or ul.pucch_f2):
         # UE transmits ACKs on its PUCCH F1 occasions (bit 0 = ACK) and
         # packed wideband CSI reports on its F2 occasions, closing the DL
@@ -485,10 +487,15 @@ def _emulate_ue(cond, mac, ul, cfg, sched=None):
                 i_2=fc.rnti % 2)
             bits = csi_mod.pack_pucch(data, sched.csi_cfg)
             grid = pucch_mod.transmit_format2(grid, fc, bits)
-        samples = ofdm_mod.modulate_slot(
-            grid, cfg.cell.dft_size, cfg.cell.numerology,
+        grid_dirty = True
+    if grid_dirty:
+        # ONE re-OFDM after all grid writes (jitted: eager complex ops
+        # are fatal on the tunnel backend)
+        from srsran_tpu.ops import ofdm as ofdm_mod2
+        samples = jax.jit(lambda g: ofdm_mod2.modulate_slot(
+            g, cfg.cell.dft_size, cfg.cell.numerology,
             slot_in_subframe=slot_in_sf,
-            center_freq_hz=cfg.cell.center_freq_hz)
+            center_freq_hz=cfg.cell.center_freq_hz))(grid)
     if cfg.channel_profile != "none":
         ch = chan.ChannelConfig(
             profile=cfg.channel_profile, sinr_db=cfg.channel_sinr_db,

@@ -37,6 +37,7 @@ import dataclasses
 import enum
 import importlib
 import json
+import functools
 import socket
 import struct
 
@@ -227,6 +228,15 @@ class FapiClient:
 # PHY-side server
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=1)
+def _split_planes():
+    """Jitted real/imag splitter, cached so the per-slot dl_samples path
+    never re-traces (a fresh lambda per message would)."""
+    import jax
+    import jax.numpy as jnp
+    return jax.jit(lambda v: (jnp.real(v), jnp.imag(v)))
+
+
 def serve_phy(port: int = 0, host: str = "127.0.0.1",
               ready_cb=None) -> None:
     """Run the DU-low FAPI server: one MAC client, slot messages in order.
@@ -288,10 +298,7 @@ def serve_phy(port: int = 0, host: str = "127.0.0.1",
                 if body.get("want_samples"):
                     # complex d2h is unsafe on the tunnel backend: fetch
                     # float planes and recombine on host (utils/transfer)
-                    import jax
-                    import jax.numpy as jnp
-                    re_d, im_d = jax.jit(
-                        lambda v: (jnp.real(v), jnp.imag(v)))(samples)
+                    re_d, im_d = _split_planes()(samples)
                     host = (np.asarray(re_d)
                             + 1j * np.asarray(im_d)).astype(np.complex64)
                     send_msg(conn, "dl_samples", host)

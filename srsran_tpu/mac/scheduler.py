@@ -308,7 +308,12 @@ class CellScheduler:
             if due:
                 pg_rb = min(6, self.cell.nof_rb - used_rb_dl)
                 if pg_rb > 0:
-                    # 48-bit 5G-S-TMSI record per paged UE (RRC paging)
+                    # 48-bit 5G-S-TMSI record per paged UE (RRC paging);
+                    # cap records to what the QPSK allocation can carry
+                    # (G = data_re * 2 bits; leave >2x coding margin) —
+                    # overflow pages wait for the next DRX cycle
+                    cap = max((pg_rb * 12 * 10 * 2 // 2 - 16) // 48, 1)
+                    due = due[:cap]
                     rec_bits = 48 * len(due)
                     from ..ran.mcs_tbs import TBS_TABLE_38214
                     tbs_pg = next(v for v in TBS_TABLE_38214
@@ -394,15 +399,30 @@ class CellScheduler:
             csi_due = (self.csi_period_slots and self.csi_cfg is not None
                        and slot.count % self.csi_period_slots
                        == self.csi_period_slots - 1)
+            # Reserve F2 PRBs only for UEs that will NOT get a new PUSCH
+            # grant (no UL data / no free HARQ): grant-holders' CSI rides
+            # their PUSCH instead, so reserving for everyone would waste
+            # up to one PRB per UE of UL capacity every CSI period.
+            need_f2 = []
+            if csi_due:
+                need_f2 = [r for r, u in sorted(self.ues.items())
+                           if not (u.cfg.nof_layers_ul == 1
+                                   and (u.find_pending_retx(u.ul_harq)
+                                        is not None
+                                        or (u.has_ul_data()
+                                            and u.find_free(u.ul_harq)
+                                            is not None)))]
             pusch, harq_meta = self._schedule_ul(
-                slot, reserved_top_rb=1 + (len(self.ues) if csi_due else 0))
+                slot, reserved_top_rb=1 + len(need_f2))
             on_pusch = set()
             if csi_due:
                 from ..ran.uci_on_pusch import UciOnPuschConfig
                 for i, (cfg, (hid, new)) in enumerate(
                         zip(pusch, harq_meta)):
                     ue = self.ues.get(cfg.rnti)
-                    if not new or ue is None:
+                    # ue_tx's UCI multiplexer is single-layer; multi-layer
+                    # UEs keep PUCCH F2
+                    if not new or ue is None or cfg.nof_layers != 1:
                         continue
                     rank = max(1, min(ue.dl_layers, self.cell.nof_ports))
                     cfg_r = dataclasses.replace(
@@ -416,6 +436,10 @@ class CellScheduler:
                     on_pusch.add(cfg.rnti)
             if csi_due:
                 nbits = csi_mod.pucch_size(self.csi_cfg)
+                # PRBs occupied by this slot's PUSCH (retx keep their
+                # original span): an F2 occasion may not overlap them
+                spans = [(c.rb_start, c.rb_start + c.rb_count)
+                         for c in pusch]
                 owners = []
                 k = 0
                 for rnti in sorted(self.ues):
@@ -424,6 +448,8 @@ class CellScheduler:
                     rb0 = self.cell.nof_rb - 2 - k
                     if rb0 <= 0:
                         break
+                    if any(a <= rb0 < b for a, b in spans):
+                        continue      # collided with a retx: report next period
                     pucch_f2.append(PucchF2Config(
                         rb_start=rb0, nof_rb=1, start_symbol=12,
                         nof_symbols=2, rnti=rnti, n_id=self.pci,
@@ -528,6 +554,12 @@ class CellScheduler:
         for rnti in cands_retx:
             ue = self.ues[rnti]
             h = ue.dl_harq[ue.find_pending_retx(ue.dl_harq)]
+            # a retx keeps its original PRB span (soft buffers are
+            # allocation-shaped); if that span now overlaps this slot's
+            # broadcast region (SIB1/RAR/paging, PRBs [0, used_rb)),
+            # DEFER the retx to a later slot rather than colliding
+            if h.cfg.rb_start < used_rb:
+                continue
             h.retx()
             cfg = dataclasses.replace(
                 h.cfg, rv=h.rv, slot_in_frame=slot.slot_index)
@@ -823,10 +855,18 @@ class CellScheduler:
     #: slot plans (one RAR PDSCH per event) without bound.
     MAX_PENDING_RA = 16
 
+    #: Bound on queued paging records (the RA-event cap's analogue): an
+    #: unbounded flood would otherwise grow the queue without limit.
+    MAX_PENDING_PAGING = 64
+
     def page_ue(self, ue_id_5g: int) -> None:
         """Enqueue a paging record (48-bit 5G-S-TMSI); it transmits in a
         P-RNTI PDSCH on the UE's paging frame (mac paging_information
-        handler analogue)."""
+        handler analogue).  Dropped + counted when the queue is full."""
+        if len(self._paging_queue) >= self.MAX_PENDING_PAGING:
+            self.counters["paging_dropped"] = self.counters.get(
+                "paging_dropped", 0) + 1
+            return
         self._paging_queue.append(int(ue_id_5g) & ((1 << 48) - 1))
 
     def handle_rach(self, preamble_index: int) -> int:

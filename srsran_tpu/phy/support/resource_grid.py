@@ -28,9 +28,14 @@ def from_cbf16(packed: jnp.ndarray) -> jnp.ndarray:
 
 
 def _is_advanced_index(x) -> bool:
-    """True for advanced (array) index elements; slices/Ellipsis/None/ints
-    are basic."""
+    """True for advanced (array) index elements; slices/Ellipsis/None and
+    integer scalars (python or numpy, incl. 0-d arrays) are basic."""
     if isinstance(x, (slice, type(Ellipsis), type(None), int)):
+        return False
+    import numpy as _np
+    if isinstance(x, _np.integer):
+        return False
+    if getattr(x, "ndim", None) == 0:       # 0-d array acts like a scalar
         return False
     return True        # ndarray / jnp array / list / anything array-like
 

@@ -453,6 +453,15 @@ def transmit_format1(grid: jnp.ndarray, cfg: PucchF1Config, bits) -> jnp.ndarray
 
 # ----------------------------------------------------------------- Format 2
 
+def _f2_polar_cfg(k: int, e: int):
+    """F2 polar code parameters shared by transmit_format2 and
+    process_format2 (the rule is load-bearing: TX and RX must agree)."""
+    crc_len = 6 if k < 20 else 11
+    return polar_params.polar_code(
+        k + crc_len, e, nmax=10, ibil=True,
+        n_pc=3 if k + crc_len <= 19 else 0), crc_len
+
+
 def transmit_format2(grid: jnp.ndarray, cfg: "PucchF2Config",
                      bits) -> jnp.ndarray:
     """UE-side PUCCH F2 transmit into port 0 of a [P, nsym, nsc] grid.
@@ -473,10 +482,7 @@ def transmit_format2(grid: jnp.ndarray, cfg: "PucchF2Config",
     if k <= 11:
         enc = short_block.encode(b[None], e_tot, 2)[0]
     else:
-        crc_len = 6 if k < 20 else 11
-        code = polar_params.polar_code(k + crc_len, e_tot, nmax=10,
-                                       ibil=True,
-                                       n_pc=3 if k + crc_len <= 19 else 0)
+        code, crc_len = _f2_polar_cfg(k, e_tot)
         with_crc = jnp.concatenate(
             [b[None], crc(b[None], f"crc{crc_len}")], axis=-1)
         u = polar_ops.allocate(with_crc, code)
@@ -773,10 +779,7 @@ def process_format2(grid: jnp.ndarray, cfg: PucchF2Config, dmrs_cinits=None):
         bits, metric = short_block.detect(llr[None], k, 2)
         return {"uci_bits": bits[0], "valid": metric[0] > 0.5,
                 "metric": metric[0]}
-    crc_len = 6 if k < 20 else 11
-    code = polar_params.polar_code(k + crc_len, llr.shape[0], nmax=10,
-                                   ibil=True,
-                                   n_pc=3 if k + crc_len <= 19 else 0)
+    code, crc_len = _f2_polar_cfg(k, llr.shape[0])
     lm = polar_ops.rate_dematch(llr[None], code)
     dec = polar_ops.sc_decode(lm, code)
     ok = crc_check(dec, f"crc{crc_len}")[0]
