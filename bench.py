@@ -436,6 +436,11 @@ def _run(result, errors, stage):
         result["vs_baseline"] = round(500.0 / us_per_slot, 2)
         result["slots_per_s"] = round(1e6 / us_per_slot, 1)
         result["batch_us"] = [round(b, 1) for b in batch_us]
+        # conservative convention alongside best-of (tunnel variance is
+        # 1.5-2x): the median batch and its vs_baseline
+        med = sorted(batch_us)[len(batch_us) // 2]
+        result["value_median"] = round(med, 1)
+        result["vs_baseline_median"] = round(500.0 / med, 2)
         result["nof_slots"] = nof_slots
 
     # ---- conductor (deployment) path -------------------------------------
