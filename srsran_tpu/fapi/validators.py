@@ -67,11 +67,25 @@ def validate_dl_tti(dl: DlTtiRequest, cell: CellConfig):
         g = nof_data_re(p) * BITS_PER_SYMBOL[p.modulation] * p.nof_layers
         _check(p.tbs + 24 <= g,
                f"pdsch: TBS {p.tbs} exceeds capacity {g} bits")
+        if p.prbs is not None or p.vrb_prb_interleaved:
+            from ..phy.upper.pdsch import alloc_prbs
+            alloc = alloc_prbs(p)
+            _check(len(alloc) == len(set(alloc.tolist())),
+                   "pdsch: duplicate PRBs in type-0 allocation")
+            _check(int(alloc[0]) >= 0 and int(alloc[-1]) < cell.nof_rb,
+                   "pdsch: type-0/interleaved allocation exceeds carrier")
+            _check(p.ptrs is None,
+                   "pdsch: PT-RS with non-contiguous allocation is not "
+                   "supported (PT-RS positions assume contiguous PRBs)")
         if p.precoding is not None:
             from ..ran import precoding_codebooks as pc
+            from ..phy.upper.pdsch import alloc_prbs
             pre = p.precoding
             _check(pre.prg_size >= 1, "pdsch: precoding prg_size >= 1")
-            want = pc.nof_prgs(p.rb_start, p.rb_count, pre.prg_size)
+            alloc = alloc_prbs(p)
+            want = pc.nof_prgs(int(alloc[0]),
+                               int(alloc[-1]) - int(alloc[0]) + 1,
+                               pre.prg_size)
             _check(len(pre.pm_indices) == want,
                    f"pdsch: precoding has {len(pre.pm_indices)} PM indices, "
                    f"allocation spans {want} PRGs")

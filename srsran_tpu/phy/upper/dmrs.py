@@ -63,6 +63,10 @@ class DmrsConfig:
     numerology: int = 0
     slot_in_frame: int = 0    # n_slot for c_init
     amplitude: float = 1.0    # beta_dmrs
+    # Non-contiguous allocation (RA type 0 / interleaved VRB-PRB):
+    # sorted absolute PRB tuple; overrides rb_start/rb_count for the
+    # comb positions and pilot selection (rb_allocation.cpp analogue).
+    prbs: tuple | None = None
 
 
 def _c_init(cfg: DmrsConfig, symbol: int) -> int:
@@ -86,6 +90,21 @@ def c_inits_for(cfg: DmrsConfig, slot_in_frame: int | None = None) -> np.ndarray
 
 
 @functools.lru_cache(maxsize=8192)
+def _prb_pilot_select(cfg: DmrsConfig, per_rb: int):
+    """(gold span in pilots, advance, per-PRB column selector) for a
+    possibly non-contiguous allocation: pilots are generated over the
+    covering span [min_prb, max_prb] at the ABSOLUTE Gold positions and
+    the allocated PRBs' columns selected (the sequence indexes by CRB)."""
+    if cfg.prbs is None:
+        return per_rb * cfg.rb_count, 2 * per_rb * cfg.rb_start, None
+    prbs = sorted(cfg.prbs)
+    lo, hi = prbs[0], prbs[-1]
+    span = per_rb * (hi - lo + 1)
+    sel = np.concatenate([np.arange((p - lo) * per_rb, (p - lo + 1) * per_rb)
+                          for p in prbs])
+    return span, 2 * per_rb * lo, sel
+
+
 def pilot_values_for(cfg: DmrsConfig,
                      slot_in_frame: int | None = None) -> np.ndarray:
     """Host-side QPSK pilot base sequences [nsym, npilot] complex64.
@@ -98,14 +117,14 @@ def pilot_values_for(cfg: DmrsConfig,
     from ...ops.gold import gold_sequence_np
     from ...ops.modulation import qpsk_np
     per_rb = 6 if cfg.config_type == 1 else 4
-    npilot = per_rb * cfg.rb_count
-    adv = 2 * per_rb * cfg.rb_start
+    npilot, adv, sel = _prb_pilot_select(cfg, per_rb)
     sif = cfg.slot_in_frame if slot_in_frame is None else slot_in_frame
     rows = []
     for l in cfg.symbols:
         ci = ((1 << 17) * (14 * sif + l + 1) * (2 * cfg.scrambling_id + 1)
               + 2 * cfg.scrambling_id + cfg.n_scid) % (1 << 31)
-        rows.append(qpsk_np(gold_sequence_np(ci, 2 * npilot, advance=adv)))
+        row = qpsk_np(gold_sequence_np(ci, 2 * npilot, advance=adv))
+        rows.append(row if sel is None else row[sel])
     return (np.stack(rows, axis=0) * cfg.amplitude).astype(np.complex64)
 
 
@@ -118,24 +137,30 @@ def _is_values(c_inits) -> bool:
 
 
 def sequence(cfg: DmrsConfig, symbol: int, c_init=None) -> jnp.ndarray:
-    """Base QPSK pilot sequence for one symbol, length 6*rb_count.
+    """Base QPSK pilot sequence for one symbol, length 6*nof_alloc_prb.
 
     ``c_init`` may be a traced uint32 scalar (slot-varying input); when None
     it is derived statically from the config.  The Gold sequence is advanced
-    so that PRB ``rb_start`` is consistent with a carrier starting at CRB0.
+    so that PRB ``rb_start`` is consistent with a carrier starting at CRB0;
+    non-contiguous allocations select their PRBs' columns from the span.
     """
     per_rb = 6 if cfg.config_type == 1 else 4
-    npilot = per_rb * cfg.rb_count
-    adv = 2 * per_rb * cfg.rb_start
+    npilot, adv, sel = _prb_pilot_select(cfg, per_rb)
     if c_init is None:
         c_init = _c_init(cfg, symbol)
     bits = gold_sequence(c_init, 2 * npilot, advance=adv)
-    return modulate(bits[None], "qpsk")[0] * cfg.amplitude
+    seq = modulate(bits[None], "qpsk")[0] * cfg.amplitude
+    return seq if sel is None else seq[jnp.asarray(sel)]
 
 
 @functools.lru_cache(maxsize=None)
-def _type1_sc_indices(rb_start: int, rb_count: int, delta: int) -> np.ndarray:
+def _type1_sc_indices(rb_start: int, rb_count: int, delta: int,
+                      prbs: tuple | None = None) -> np.ndarray:
     """Subcarrier indices of the comb for one CDM group."""
+    if prbs is not None:
+        return np.concatenate(
+            [p * 12 + 2 * np.arange(6, dtype=np.int32) + delta
+             for p in sorted(prbs)]).astype(np.int32)
     base = np.arange(rb_count * 6, dtype=np.int32)
     return (rb_start * 12 + 2 * base + delta).astype(np.int32)
 
@@ -179,7 +204,8 @@ def map_to_grid(grid: jnp.ndarray, cfg: DmrsConfig,
     for li, dmrs_port in enumerate(cfg.ports):
         if cfg.config_type == 1:
             delta = TYPE1_PORT_CONFIG[dmrs_port][0]
-            sc_h = _type1_sc_indices(cfg.rb_start, cfg.rb_count, delta)
+            sc_h = _type1_sc_indices(cfg.rb_start, cfg.rb_count, delta,
+                                     cfg.prbs)
         else:
             group = TYPE2_PORT_CONFIG[dmrs_port][0]
             sc_h = type2_sc_indices(cfg.rb_start, cfg.rb_count, group)

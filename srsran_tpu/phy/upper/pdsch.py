@@ -73,13 +73,29 @@ class PdschConfig:
     # mapper path, lib/fapi_adaptor/precoding_matrix_mapper.cpp).  None =
     # identity port mapping (existing plans unchanged).
     precoding: PrecodingConfig | None = None
+    # Resource allocation beyond contiguous type 1 (rb_allocation.cpp):
+    # prbs = RA type 0 (explicit sorted PRB index tuple, overrides
+    # rb_start/rb_count for the RE plans); vrb_prb_interleaved = type-1
+    # VRBs through the TS38.211 7.3.1.6 interleaver over [0, bwp_size).
+    prbs: tuple | None = None
+    vrb_prb_interleaved: bool = False
+    bwp_size: int | None = None
+
+
+def alloc_prbs(cfg: "PdschConfig") -> np.ndarray:
+    """Resolve the PDU's allocation to sorted absolute PRB indices
+    (ran/rb_allocation: type 0 bitmap / interleaved / contiguous)."""
+    from ...ran.rb_allocation import allocated_prbs
+    return allocated_prbs(cfg.rb_start, cfg.rb_count, cfg.prbs,
+                          cfg.vrb_prb_interleaved, 0, cfg.bwp_size)
 
 
 @functools.lru_cache(maxsize=None)
 def _data_re_plan(rb_start: int, rb_count: int, first_symbol: int,
                   nof_symbols: int, dmrs_symbols: tuple,
                   reserved_cdm_groups: int,
-                  ptrs: "PdschPtrs | None" = None) -> np.ndarray:
+                  ptrs: "PdschPtrs | None" = None,
+                  prbs: tuple | None = None) -> np.ndarray:
     """(symbol, subcarrier) positions of data REs in mapping order.
 
     Frequency-first within each symbol, symbols ascending (TS38.211
@@ -97,7 +113,12 @@ def _data_re_plan(rb_start: int, rb_count: int, first_symbol: int,
             re_offset=ptrs.re_offset, port=ptrs.port))
         ptrs_re = {(int(l), int(k)) for l, k in pos}
     out = []
-    scs = np.arange(rb_start * 12, (rb_start + rb_count) * 12, dtype=np.int32)
+    if prbs is not None:
+        scs = np.concatenate([np.arange(p * 12, (p + 1) * 12)
+                              for p in sorted(prbs)]).astype(np.int32)
+    else:
+        scs = np.arange(rb_start * 12, (rb_start + rb_count) * 12,
+                        dtype=np.int32)
     for l in range(first_symbol, first_symbol + nof_symbols):
         if l in dmrs_symbols:
             if reserved_cdm_groups >= 2:
@@ -111,10 +132,18 @@ def _data_re_plan(rb_start: int, rb_count: int, first_symbol: int,
     return np.array(out, dtype=np.int32)
 
 
+def _plan_prbs_key(cfg: PdschConfig) -> tuple | None:
+    """Hashable PRB tuple for the RE-plan cache; None = contiguous."""
+    if cfg.prbs is None and not cfg.vrb_prb_interleaved:
+        return None
+    return tuple(int(p) for p in alloc_prbs(cfg))
+
+
 def nof_data_re(cfg: PdschConfig) -> int:
     return len(_data_re_plan(cfg.rb_start, cfg.rb_count, cfg.first_symbol,
                              cfg.nof_symbols, cfg.dmrs_symbols,
-                             cfg.reserved_cdm_groups, cfg.ptrs))
+                             cfg.reserved_cdm_groups, cfg.ptrs,
+                             _plan_prbs_key(cfg)))
 
 
 def _cb_rate_match_sizes(g_total: int, c: int, qm: int, nl: int) -> list:
@@ -171,7 +200,7 @@ def dmrs_config(cfg: PdschConfig) -> DmrsConfig:
         rb_start=cfg.rb_start, rb_count=cfg.rb_count, symbols=cfg.dmrs_symbols,
         ports=tuple(range(cfg.nof_layers)), scrambling_id=cfg.dmrs_scrambling_id,
         n_scid=cfg.n_scid, numerology=cfg.numerology,
-        slot_in_frame=cfg.slot_in_frame)
+        slot_in_frame=cfg.slot_in_frame, prbs=_plan_prbs_key(cfg))
 
 
 def process(grid: jnp.ndarray, payload_bits: jnp.ndarray, cfg: PdschConfig,
@@ -203,12 +232,14 @@ def process(grid: jnp.ndarray, payload_bits: jnp.ndarray, cfg: PdschConfig,
     layers = layer_map(symbols[0], cfg.nof_layers)                  # [L, S/L]
     plan = _data_re_plan(cfg.rb_start, cfg.rb_count, cfg.first_symbol,
                          cfg.nof_symbols, cfg.dmrs_symbols,
-                         cfg.reserved_cdm_groups, cfg.ptrs)
+                         cfg.reserved_cdm_groups, cfg.ptrs,
+                         _plan_prbs_key(cfg))
     sym_idx = jnp.asarray(plan[:, 0])
     sc_idx = jnp.asarray(plan[:, 1])
     with jax.named_scope("precode"):
         if cfg.precoding is not None:
-            prg = prg_index_of_sc(plan[:, 1], cfg.rb_start,
+            base_prb = int(alloc_prbs(cfg)[0])
+            prg = prg_index_of_sc(plan[:, 1], base_prb,
                                   cfg.precoding.prg_size)
             ports = precode_prg(layers, pm_matrices,
                                 jnp.asarray(prg))       # [P, S/L]
@@ -221,7 +252,8 @@ def process(grid: jnp.ndarray, payload_bits: jnp.ndarray, cfg: PdschConfig,
             grid = map_dmrs(grid, dmrs_config(cfg), None, dmrs_cinits,
                             prg_matrices=pm_matrices,
                             prg_of_sc=lambda sc: prg_index_of_sc(
-                                sc, cfg.rb_start, cfg.precoding.prg_size))
+                                sc, int(alloc_prbs(cfg)[0]),
+                                cfg.precoding.prg_size))
         else:
             grid = map_dmrs(grid, dmrs_config(cfg), precoding, dmrs_cinits)
     if cfg.ptrs is not None:
