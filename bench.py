@@ -443,6 +443,23 @@ def _run(result, errors, stage):
         result["vs_baseline_median"] = round(500.0 / med, 2)
         result["nof_slots"] = nof_slots
 
+    # per-direction anchors for the BASELINE roofline table (same
+    # pipelined protocol, each direction alone)
+    def dl_only():
+        return run_batches(lambda i: raw_dl[i % n_phases][0](
+            *raw_dl[i % n_phases][1]), nof=30)[0]
+
+    def ul_only():
+        return run_batches(lambda i: raw_ul[i % n_phases][0](
+            rx, prach_fd, softs, raw_ul[i % n_phases][1])[0], nof=30)[0]
+
+    v = stage("dl_only", dl_only)
+    if v is not None:
+        result["dl_only_us"] = round(v, 1)
+    v = stage("ul_only", ul_only)
+    if v is not None:
+        result["ul_only_us"] = round(v, 1)
+
     # ---- conductor (deployment) path -------------------------------------
     print(f"BENCH_STAGE conductor t={time.time() - T_START:.0f}s", file=sys.stderr)
     pendings = []
