@@ -126,3 +126,46 @@ def test_type0_through_conductor_with_validators():
         cond.process_dl(DlTtiRequest(slot=slot, pdsch=(bad,)),
                         TxDataRequest(slot=slot, pdsch_payloads=(
                             np.zeros(bad.tbs, np.int8),)))
+
+
+def test_type0_with_per_prg_precoding():
+    """Scattered allocation + per-PRG codebook precoding compose: the PRG
+    base is the first ALLOCATED PRB and the validator sizes pm_indices
+    over the allocation span."""
+    from srsran_tpu.ran.precoding_codebooks import (PrecodingConfig,
+                                                    nof_prgs, pmi_to_index,
+                                                    get_matrix)
+    nof_sc = 24 * 12
+    rng = np.random.default_rng(3)
+    prbs = (2, 3, 8, 9, 14, 15)
+    ia = pmi_to_index(2, ri=2, i_2=0)
+    ib = pmi_to_index(2, ri=2, i_2=1)
+    span = nof_prgs(2, 14, 4)                 # PRBs 2..15, prg_size 4
+    pre = PrecodingConfig(prg_size=4, pm_indices=tuple(
+        [ia, ib] * span)[:span])
+    cfg = _cfg(rb_start=2, rb_count=14, prbs=prbs, nof_layers=2, tbs=824,
+               precoding=pre, dmrs_symbols=(2, 7))
+    bits = jnp.asarray(rng.integers(0, 2, cfg.tbs).astype(np.int8))
+    grid = np.asarray(pdsch.process(
+        jnp.zeros((2, 14, nof_sc), jnp.complex64), bits, cfg))
+    # energy only on allocated PRBs, on both ports (precoded)
+    prb_energy = np.abs(grid).sum(axis=(0, 1)).reshape(24, 12).sum(axis=1)
+    for p in range(24):
+        assert (prb_energy[p] > 0) == (p in set(prbs)), p
+    # splice check: per-PRG result equals the wideband runs spliced by PRG
+    wa = np.asarray(pdsch.process(
+        jnp.zeros((2, 14, nof_sc), jnp.complex64), bits,
+        _cfg(rb_start=2, rb_count=14, prbs=prbs, nof_layers=2, tbs=824,
+             dmrs_symbols=(2, 7)),
+        precoding=get_matrix(2, ia)))
+    wb = np.asarray(pdsch.process(
+        jnp.zeros((2, 14, nof_sc), jnp.complex64), bits,
+        _cfg(rb_start=2, rb_count=14, prbs=prbs, nof_layers=2, tbs=824,
+             dmrs_symbols=(2, 7)),
+        precoding=get_matrix(2, ib)))
+    prg_of_prb = np.arange(24) // 4 - 2 // 4      # base PRB 2 -> prg0 = 0
+    pm_of_prb = np.array([pre.pm_indices[min(max(g, 0), span - 1)]
+                          for g in prg_of_prb])
+    sel_a = np.repeat(pm_of_prb == ia, 12)[None, None, :]
+    want = np.where(sel_a, wa, wb)
+    np.testing.assert_allclose(grid, want, atol=1e-5)
