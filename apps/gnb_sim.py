@@ -35,6 +35,9 @@ def main():
                     help="capture FAPI slot messages to this pcap file")
     ap.add_argument("--e2", default="",
                     help="connect the E2/KPM agent to a RIC at host:port")
+    ap.add_argument("--page", action="append", default=[],
+                    help="page a UE (48-bit 5G-S-TMSI, hex or dec); the "
+                         "record transmits on its TS38.304 paging frame")
     args = ap.parse_args()
 
     from srsran_tpu.utils import config as config_mod
@@ -95,7 +98,13 @@ def main():
                  for u in cfg.ues],
             tdd=cfg.tdd, seed=cfg.seed, prach=prach_cfg,
             prach_period_slots=max(cfg.prach_period_slots, 1),
-            csi_period_slots=cfg.csi_period_slots)
+            csi_period_slots=cfg.csi_period_slots,
+            # short DRX cycle + PO on a DL slot so short sim drives hit
+            # the paging frame (deployment values are ctor defaults)
+            **({"paging_drx_frames": 4, "paging_po_slot": 0}
+               if args.page else {}))
+        for pid in args.page:
+            sched.page_ue(int(pid, 0))
         mac = None
     else:
         mac = TestModeMac(cfg.cell, cfg.phys_cell_id, cfg.ues, cfg.tdd,
