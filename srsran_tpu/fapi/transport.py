@@ -150,11 +150,22 @@ class FapiClient:
     def __init__(self, host: str, port: int, timeout: float = 300.0):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self.error_indications: list = []   # async fapi::error_indication
+        self.results: list = []             # pushed slot_results_nb
+
+    def _recv(self):
+        """recv_msg that transparently collects pushed slot_results_nb
+        (pipelined indications may precede any request's reply)."""
+        while True:
+            t, body = recv_msg(self._sock)
+            if t == "slot_results_nb":
+                self.results.append(body)
+                continue
+            return t, body
 
     def configure(self, cell) -> None:
         """Legacy one-shot: config.request + start.request."""
         send_msg(self._sock, "config", cell)
-        t, _ = recv_msg(self._sock)
+        t, _ = self._recv()
         assert t == "config_ok", t
 
     def config_msg(self, msg):
@@ -162,7 +173,7 @@ class FapiClient:
         return the PHY's reply dataclass (None for an accepted
         start.request)."""
         send_msg(self._sock, "fapi_config", msg)
-        t, body = recv_msg(self._sock)
+        t, body = self._recv()
         assert t == "fapi_config_reply", t
         return body
 
@@ -187,7 +198,7 @@ class FapiClient:
                  {"dl": dl, "tx": tx, "want_samples": want_samples})
         if want_samples:
             while True:
-                t, body = recv_msg(self._sock)
+                t, body = self._recv()
                 if t == "dl_samples":
                     return body
                 assert t == "error_indication", t
@@ -208,7 +219,7 @@ class FapiClient:
         asynchronous error.indication notifier."""
         send_msg(self._sock, "ul_tti", {"ul": ul})
         while True:
-            t, body = recv_msg(self._sock)
+            t, body = self._recv()
             if t == "slot_results":
                 return body
             assert t == "error_indication", t
@@ -216,6 +227,29 @@ class FapiClient:
                     and body.slot == ul.slot.slot_index):
                 return body
             self.error_indications.append(body)
+
+    # ---- pipelined indications (the deployment pattern over the wire:
+    # the PHY resolves resolve_lag slots BEHIND the launch front and
+    # pushes slot_results_nb messages; the MAC never blocks per slot) ----
+
+    def ul_tti_nb(self, ul) -> None:
+        """Non-blocking UL slot: the PHY launches it and pushes this (and
+        earlier) slots' results as they resolve; collect them from
+        self.results (filled by any later receive) or via flush()."""
+        send_msg(self._sock, "ul_tti_nb", {"ul": ul})
+
+    def flush(self) -> list:
+        """Resolve + deliver every in-flight non-blocking UL slot.
+        Returns all results received so far (drains self.results)."""
+        send_msg(self._sock, "flush", None)
+        while True:
+            t, body = self._recv()
+            if t == "error_indication":
+                self.error_indications.append(body)
+            else:
+                assert t == "flush_done", t
+                out, self.results = self.results, []
+                return out
 
     def stop(self) -> None:
         try:
@@ -257,6 +291,11 @@ def serve_phy(port: int = 0, host: str = "127.0.0.1",
     conn, _ = lsock.accept()
     mgr = CellManager()
     pending_samples = None
+    # non-blocking UL slots in flight (resolve_lag behind the launch
+    # front, like PendingSlotResults in-process)
+    from collections import deque
+    nb_pending = deque()
+    resolve_lag = 2
 
     def gate(msg_id, slot):
         err = mgr.gate_slot(msg_id, slot)
@@ -315,6 +354,21 @@ def serve_phy(port: int = 0, host: str = "127.0.0.1",
                     body["ul"], pending_samples).resolve()
                 pending_samples = None
                 send_msg(conn, "slot_results", res)
+            elif t == "ul_tti_nb":
+                if gate("ul_tti", body["ul"].slot) is not None:
+                    continue
+                assert pending_samples is not None, "no UL samples available"
+                nb_pending.append(mgr.conductor.process_ul(
+                    body["ul"], pending_samples))
+                pending_samples = None
+                while len(nb_pending) > resolve_lag:
+                    send_msg(conn, "slot_results_nb",
+                             nb_pending.popleft().resolve())
+            elif t == "flush":
+                while nb_pending:
+                    send_msg(conn, "slot_results_nb",
+                             nb_pending.popleft().resolve())
+                send_msg(conn, "flush_done")
             else:
                 raise ValueError(f"unknown message type {t!r}")
     except ConnectionError:

@@ -113,3 +113,51 @@ def test_split6_separate_process_du_low():
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_split6_pipelined_indications():
+    """Non-blocking UL slots: the PHY resolves resolve_lag behind the
+    launch front and PUSHES slot_results_nb; flush() drains the tail."""
+    port_box = {}
+    ready = threading.Event()
+
+    def cb(port):
+        port_box["port"] = port
+        ready.set()
+
+    srv = threading.Thread(target=transport.serve_phy,
+                           kwargs=dict(ready_cb=cb), daemon=True)
+    srv.start()
+    assert ready.wait(10.0)
+
+    from srsran_tpu.fapi.messages import DlTtiRequest, TxDataRequest
+    from srsran_tpu.phy.upper.pdsch import PdschConfig
+    cell = _cell()
+    pu = _pusch()
+    tx_cfg = PdschConfig(rnti=pu.rnti, rb_start=0, rb_count=12,
+                         first_symbol=0, nof_symbols=14, modulation="qam16",
+                         target_code_rate=0.5, tbs=pu.tbs, nof_layers=1,
+                         n_id=0, dmrs_symbols=(2, 7, 11))
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 2, pu.tbs).astype(np.int8)
+    cli = transport.FapiClient("127.0.0.1", port_box["port"])
+    cli.configure(cell)
+    n = 5
+    for k in range(n):
+        slot = SlotPoint(1, 2 * k)
+        samples = cli.dl_tti(
+            DlTtiRequest(slot=slot, pdsch=(tx_cfg,)),
+            TxDataRequest(slot=slot, pdsch_payloads=(payload,)),
+            want_samples=True)
+        cli.rx_samples(samples)
+        cli.ul_tti_nb(UlTtiRequest(slot=slot, pusch=(pu,)))
+    results = cli.flush()
+    cli.stop()
+    assert len(results) == n
+    slots_seen = sorted(r.slot.count for r in results)
+    assert slots_seen == [2 * k for k in range(n)]
+    for r in results:
+        assert r.crc[0].tb_crc_ok
+        np.testing.assert_array_equal(
+            r.rx_data[0].payload.astype(np.int8), payload)
+    srv.join(30.0)

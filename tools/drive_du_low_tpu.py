@@ -89,40 +89,62 @@ def main():
 
         cli = transport.FapiClient("127.0.0.1", port, timeout=600.0)
         cli.configure(cell)
-        crc_ok = 0
+        # warmup: one slot end-to-end pays the server compiles + the
+        # tunnel's one-time first-d2h init, reported separately
+        t0 = time.time()
+        slot = SlotPoint(1, 0)
+        cli.dl_tti(DlTtiRequest(slot=slot, pdsch=(pdsch,)),
+                   TxDataRequest(slot=slot, pdsch_payloads=(
+                       rng.integers(0, 2, pdsch.tbs).astype(np.int8),)))
+        cli.rx_samples(rx)
+        cli.ul_tti_nb(UlTtiRequest(slot=slot, pusch=(pusch,)))
+        warm = cli.flush()
+        warm_s = time.time() - t0
+        assert len(warm) == 1 and warm[0].crc[0].tb_crc_ok
+        lines.append(f"warmup: {warm_s:.1f} s (compiles + first-d2h init)")
+        print(lines[-1], flush=True)
         slot_ms = []
+        # PIPELINED indications (ul_tti_nb): the PHY resolves 2 slots
+        # behind the launch front and pushes results — the MAC never
+        # blocks per slot (the in-process PendingSlotResults pattern,
+        # now over the wire)
+        t_steady = time.time()
         for k in range(nof_slots):
-            slot = SlotPoint(1, 2 * k)
+            slot = SlotPoint(1, 2 * (k + 1))
             t0 = time.time()
             cli.dl_tti(DlTtiRequest(slot=slot, pdsch=(pdsch,)),
                        TxDataRequest(slot=slot, pdsch_payloads=(
                            rng.integers(0, 2, pdsch.tbs).astype(np.int8),)))
             cli.rx_samples(rx)
-            res = cli.ul_tti(UlTtiRequest(slot=slot, pusch=(pusch,)))
+            cli.ul_tti_nb(UlTtiRequest(slot=slot, pusch=(pusch,)))
             ms = (time.time() - t0) * 1e3
             slot_ms.append(ms)
-            ok = bool(res.crc and res.crc[0].tb_crc_ok)
-            crc_ok += int(ok)
-            good_payload = (res.rx_data
-                            and np.array_equal(
-                                res.rx_data[0].payload.astype(np.int8),
-                                payload))
-            line = (f"slot {2 * k}: {ms:8.1f} ms  crc={'ok' if ok else 'BAD'}"
-                    f"  payload={'ok' if good_payload else 'BAD'}")
+            line = f"slot {2 * k}: launch {ms:8.1f} ms"
             lines.append(line)
             print(line, flush=True)
+        t0 = time.time()
+        results = cli.flush()
+        flush_s = time.time() - t0
+        steady_s = time.time() - t_steady
         cli.stop()
-        steady = sorted(slot_ms[1:])
+        crc_ok = sum(bool(r.crc and r.crc[0].tb_crc_ok) for r in results)
+        pay_ok = sum(bool(r.rx_data and np.array_equal(
+            r.rx_data[0].payload.astype(np.int8), payload))
+            for r in results)
+        steady = sorted(slot_ms)
         summary = (
-            f"du_low ON TPU split-6 drive: {nof_slots} DL+UL slots over the "
-            f"wire, CRC {crc_ok}/{nof_slots} ok; first slot "
-            f"{slot_ms[0]/1e3:.1f} s (compiles + first-d2h init), steady "
-            f"median {steady[len(steady)//2]:.1f} ms/slot, best "
-            f"{steady[0]:.1f} ms (per-slot = 1 DL dispatch + 1 UL dispatch "
-            f"+ on-device indication resolve d2h + TCP roundtrips)")
+            f"du_low ON TPU split-6 drive (PIPELINED indications, "
+            f"resolve_lag=2): warmup {warm_s:.1f} s (compiles + first-d2h "
+            f"init), then {nof_slots} DL+UL slots over the wire, CRC "
+            f"{crc_ok}/{nof_slots} ok, payload {pay_ok}/{nof_slots} ok; "
+            f"launch median {steady[len(steady)//2]:.1f} ms/slot, "
+            f"STEADY end-to-end {steady_s/nof_slots*1e3:.1f} ms/slot "
+            f"(launches + resolve-behind + flush tail {flush_s:.1f} s) — "
+            f"vs ~101 ms/slot with per-slot synchronous ul_tti")
         lines.append(summary)
         print(summary, flush=True)
-        assert crc_ok == nof_slots, "CRC failures over the split-6 wire"
+        assert crc_ok == nof_slots and pay_ok == nof_slots, \
+            "CRC/payload failures over the split-6 wire"
         with open(os.path.join(REPO, "DU_LOW_TPU_DRIVE.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
         print("written: DU_LOW_TPU_DRIVE.txt")
