@@ -36,8 +36,9 @@ def main():
     ap.add_argument("--e2", default="",
                     help="connect the E2/KPM agent to a RIC at host:port")
     ap.add_argument("--page", action="append", default=[],
-                    help="page a UE (48-bit 5G-S-TMSI, hex or dec); the "
-                         "record transmits on its TS38.304 paging frame")
+                    help="page a UE (48-bit 5G-S-TMSI, decimal or "
+                         "0x-prefixed hex); sched mode only — the record "
+                         "transmits on its TS38.304 paging frame")
     args = ap.parse_args()
 
     from srsran_tpu.utils import config as config_mod
@@ -107,6 +108,8 @@ def main():
             sched.page_ue(int(pid, 0))
         mac = None
     else:
+        if args.page:
+            print("warning: --page requires run.mac=sched; ignored")
         mac = TestModeMac(cfg.cell, cfg.phys_cell_id, cfg.ues, cfg.tdd,
                           cfg.seed)
     fapi_pcap = None

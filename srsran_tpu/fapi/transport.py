@@ -237,6 +237,27 @@ class FapiClient:
         earlier) slots' results as they resolve; collect them from
         self.results (filled by any later receive) or via flush()."""
         send_msg(self._sock, "ul_tti_nb", {"ul": ul})
+        # opportunistic drain: pushed results must be consumed between
+        # sends or the server's blocking push + our blocking send can
+        # mutually fill both socket buffers and deadlock
+        self.drain_pushed()
+
+    def drain_pushed(self) -> int:
+        """Consume any ALREADY-ARRIVED pushed messages without blocking
+        (select()-gated; a readable socket holds at least the start of a
+        whole server frame, which then completes promptly)."""
+        import select
+        n = 0
+        while select.select([self._sock], [], [], 0.0)[0]:
+            t, body = recv_msg(self._sock)
+            if t == "slot_results_nb":
+                self.results.append(body)
+            elif t == "error_indication":
+                self.error_indications.append(body)
+            else:
+                raise AssertionError(f"unexpected pushed message {t!r}")
+            n += 1
+        return n
 
     def flush(self) -> list:
         """Resolve + deliver every in-flight non-blocking UL slot.

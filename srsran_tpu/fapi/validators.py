@@ -61,15 +61,18 @@ def validate_dl_tti(dl: DlTtiRequest, cell: CellConfig):
         _check(all(p.first_symbol <= d < p.first_symbol + p.nof_symbols
                    for d in p.dmrs_symbols),
                "pdsch: DM-RS symbol outside the allocation")
-        # capacity check: the rate-matched TB must fit
-        from ..phy.upper.pdsch import nof_data_re
-        from ..ops.modulation import BITS_PER_SYMBOL
-        g = nof_data_re(p) * BITS_PER_SYMBOL[p.modulation] * p.nof_layers
-        _check(p.tbs + 24 <= g,
-               f"pdsch: TBS {p.tbs} exceeds capacity {g} bits")
+        # allocation resolution first: malformed type-0/interleaved
+        # configs must surface as ValidationError, not IndexError, BEFORE
+        # the capacity check touches the RE plan
         if p.prbs is not None or p.vrb_prb_interleaved:
             from ..phy.upper.pdsch import alloc_prbs
-            alloc = alloc_prbs(p)
+            try:
+                alloc = alloc_prbs(p)
+            except (IndexError, ValueError, AssertionError) as e:
+                alloc = None
+                _check(False, f"pdsch: bad type-0/interleaved allocation: "
+                              f"{e}")
+            _check(len(alloc) > 0, "pdsch: empty type-0 allocation")
             _check(len(alloc) == len(set(alloc.tolist())),
                    "pdsch: duplicate PRBs in type-0 allocation")
             _check(int(alloc[0]) >= 0 and int(alloc[-1]) < cell.nof_rb,
@@ -77,6 +80,12 @@ def validate_dl_tti(dl: DlTtiRequest, cell: CellConfig):
             _check(p.ptrs is None,
                    "pdsch: PT-RS with non-contiguous allocation is not "
                    "supported (PT-RS positions assume contiguous PRBs)")
+        # capacity check: the rate-matched TB must fit
+        from ..phy.upper.pdsch import nof_data_re
+        from ..ops.modulation import BITS_PER_SYMBOL
+        g = nof_data_re(p) * BITS_PER_SYMBOL[p.modulation] * p.nof_layers
+        _check(p.tbs + 24 <= g,
+               f"pdsch: TBS {p.tbs} exceeds capacity {g} bits")
         if p.precoding is not None:
             from ..ran import precoding_codebooks as pc
             from ..phy.upper.pdsch import alloc_prbs

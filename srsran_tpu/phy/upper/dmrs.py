@@ -90,6 +90,16 @@ def c_inits_for(cfg: DmrsConfig, slot_in_frame: int | None = None) -> np.ndarray
 
 
 @functools.lru_cache(maxsize=8192)
+def _prb_pilot_select_cached(prbs: tuple, per_rb: int):
+    prbs = sorted(prbs)
+    lo, hi = prbs[0], prbs[-1]
+    span = per_rb * (hi - lo + 1)
+    sel = np.concatenate([np.arange((p - lo) * per_rb,
+                                    (p - lo + 1) * per_rb)
+                          for p in prbs])
+    return span, 2 * per_rb * lo, sel
+
+
 def _prb_pilot_select(cfg: DmrsConfig, per_rb: int):
     """(gold span in pilots, advance, per-PRB column selector) for a
     possibly non-contiguous allocation: pilots are generated over the
@@ -97,14 +107,12 @@ def _prb_pilot_select(cfg: DmrsConfig, per_rb: int):
     the allocated PRBs' columns selected (the sequence indexes by CRB)."""
     if cfg.prbs is None:
         return per_rb * cfg.rb_count, 2 * per_rb * cfg.rb_start, None
-    prbs = sorted(cfg.prbs)
-    lo, hi = prbs[0], prbs[-1]
-    span = per_rb * (hi - lo + 1)
-    sel = np.concatenate([np.arange((p - lo) * per_rb, (p - lo + 1) * per_rb)
-                          for p in prbs])
-    return span, 2 * per_rb * lo, sel
+    assert cfg.config_type == 1, \
+        "non-contiguous DM-RS allocations are implemented for type 1 only"
+    return _prb_pilot_select_cached(tuple(cfg.prbs), per_rb)
 
 
+@functools.lru_cache(maxsize=8192)
 def pilot_values_for(cfg: DmrsConfig,
                      slot_in_frame: int | None = None) -> np.ndarray:
     """Host-side QPSK pilot base sequences [nsym, npilot] complex64.

@@ -36,7 +36,6 @@ def main():
     from srsran_tpu.fapi.conductor import (normalize_dl_plan,
                                            normalize_ul_plan,
                                            _packed_ul_fn)
-    from srsran_tpu.phy.slot_programs import dl_slot_fn as _dlfn
     from srsran_tpu.fapi.messages import DlTtiRequest, UlTtiRequest
     from srsran_tpu.ran.slot_point import SlotPoint
     from srsran_tpu.ran.ldpc_params import segment_tb, select_base_graph
@@ -72,7 +71,7 @@ def main():
     slot = SlotPoint(1, 0)
     dl = DlTtiRequest(slot=slot, pdcch=tuple(pdcch), pdsch=tuple(pdsch))
     dl_plan, dl_ctx = normalize_dl_plan(dl, (), cell.nof_ports)
-    dfn = _dlfn(cell, dl_plan, 0)
+    dfn = dl_slot_fn(cell, dl_plan, 0)
     dl_args = ((), tuple(jnp.asarray(rng.integers(0, 2, 40).astype(np.int8))
                          for _ in range(n_ue)),
                tuple(jnp.asarray(rng.integers(0, 2, t_dl).astype(np.int8))

@@ -119,7 +119,7 @@ def main():
             cli.ul_tti_nb(UlTtiRequest(slot=slot, pusch=(pusch,)))
             ms = (time.time() - t0) * 1e3
             slot_ms.append(ms)
-            line = f"slot {2 * k}: launch {ms:8.1f} ms"
+            line = f"slot {2 * (k + 1)}: launch {ms:8.1f} ms"
             lines.append(line)
             print(line, flush=True)
         t0 = time.time()
