@@ -514,6 +514,45 @@ def _run(result, errors, stage):
         result["conductor_us_per_slot"] = round(cond_res[0], 1)
         result["conductor_batch_us"] = [round(b, 1) for b in cond_res[1]]
 
+    # ---- conductor SLOT-BATCHED throughput mode (B=4 same-phase slots in
+    # one vmapped dispatch; B extra slots of latency sits inside the
+    # reference's max_processing_delay_slots=5 pipeline) ------------------
+    print(f"BENCH_STAGE conductor_batched t={time.time() - T_START:.0f}s",
+          file=sys.stderr)
+
+    def conductor_batched():
+        cond = SlotConductor(cell)
+        bsz = 4
+        grp = [1 + g for g in range(bsz)]        # SSB-free phases
+        reqs = [(dl_request(g), ul_request(g)) for g in grp]
+        st = cond.stage_payloads(
+            [(dl_request(g), tx_request(g)) for g in grp])
+        rx_b = jnp.broadcast_to(rx, (bsz,) + tuple(rx.shape))
+        pf_b = tuple(p for p in prach_fd)
+        tx_b, pend = cond.process_slot_batch(reqs, st, rx_b,
+                                             prach_fd=pf_b)
+        jax.block_until_ready((tx_b, pend.scalars))
+
+        def batch(_):
+            t0 = time.time()
+            keep = []
+            n_groups = -(-nof_slots // bsz)
+            for _j in range(n_groups):
+                st2 = cond.stage_payloads(
+                    [(dl_request(g), tx_request(g)) for g in grp])
+                tx_b2, p2 = cond.process_slot_batch(reqs, st2, rx_b,
+                                                    prach_fd=pf_b)
+                keep.append((tx_b2, p2.scalars))
+            jax.block_until_ready(keep)
+            return (time.time() - t0) / (bsz * n_groups) * 1e6
+        us = [batch(b) for b in range(nof_batches)]
+        return min(us), us
+
+    cb = stage("conductor_batched", conductor_batched)
+    if cb:
+        result["conductor_batched_us_per_slot"] = round(cb[0], 1)
+        result["conductor_batched_batch_us"] = [round(b, 1) for b in cb[1]]
+
     # ---- worst-case decode: all 6 LDPC sweeps (no CRC early exit) --------
     print(f"BENCH_STAGE full_sweeps t={time.time() - T_START:.0f}s", file=sys.stderr)
 

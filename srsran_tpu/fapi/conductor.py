@@ -242,6 +242,37 @@ class PendingSlotResults:
         return self.conductor._decode(self)
 
 
+@dataclasses.dataclass
+class PendingSlotBatch:
+    """Device-side results of a SLOT-BATCHED step (process_slot_batch):
+    resolve() pulls the whole batch with ONE d2h per array and decodes
+    each slot's indications."""
+
+    slots: list              # [(ul_tti, harq_meta)] in batch order
+    scalars: jnp.ndarray     # [B, S]
+    payload: jnp.ndarray     # [B, G]
+    new_softs: tuple         # each [B, ...]
+    conductor: "SlotConductor"
+
+    def block_until_ready(self):
+        self.scalars.block_until_ready()
+        return self
+
+    def resolve(self) -> list:
+        sanitize.drain()
+        s = np.asarray(self.scalars)
+        pay = np.asarray(self.payload)
+        out = []
+        for i, (ul_tti, harq_meta) in enumerate(self.slots):
+            pend = PendingSlotResults(
+                ul_tti=ul_tti, harq_meta=harq_meta, scalars=s[i],
+                payload=pay[i],
+                new_softs=tuple(ns[i] for ns in self.new_softs),
+                conductor=self.conductor)
+            out.append(self.conductor._decode(pend))
+        return out
+
+
 def pack_ul_results(out: dict) -> tuple:
     """Flatten every per-PDU result into one f32 vector + one int8 vector.
 
@@ -375,16 +406,11 @@ def _packed_dl_fn(cell: CellConfig, plan, slot_in_subframe: int,
     return jax.jit(run)
 
 
-@functools.lru_cache(maxsize=None)
-def _packed_slot_fn(cell: CellConfig, dl_plan, ul_plan, slot_in_subframe: int,
-                    stride: int):
-    """ONE jitted program for a full DL+UL slot taking the payload blob from
-    a staged multi-slot device buffer: a single tunnel dispatch per slot
-    (vs separate DL and UL dispatches) and a payload H2D amortized over the
-    staging depth.  XLA also overlaps the independent DL and UL compute.
-
-    stride: byte stride between slots in the staged buffer (static).
-    """
+def _slot_run_core(cell: CellConfig, dl_plan, ul_plan,
+                   slot_in_subframe: int, stride: int):
+    """Un-jitted full DL+UL slot step taking the payload blob from a
+    staged multi-slot device buffer (shared by the per-slot jit and the
+    vmapped slot-batch throughput mode)."""
     from ..phy.slot_programs import dl_slot_core, ul_slot_core
     if len(dl_plan) == 4:
         dl_plan = dl_plan + ((),)
@@ -416,7 +442,58 @@ def _packed_slot_fn(cell: CellConfig, dl_plan, ul_plan, slot_in_subframe: int,
         new_softs = tuple(r["new_soft"] for r in out["pusch"])
         return tx_samples, scalars, payload, new_softs
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_slot_fn(cell: CellConfig, dl_plan, ul_plan, slot_in_subframe: int,
+                    stride: int):
+    """ONE jitted program for a full DL+UL slot taking the payload blob from
+    a staged multi-slot device buffer: a single tunnel dispatch per slot
+    (vs separate DL and UL dispatches) and a payload H2D amortized over the
+    staging depth.  XLA also overlaps the independent DL and UL compute.
+
+    stride: byte stride between slots in the staged buffer (static).
+    """
+    return jax.jit(_slot_run_core(cell, dl_plan, ul_plan, slot_in_subframe,
+                                  stride))
+
+
+def _stack_ctx(ctxs):
+    """Per-slot slot-context pytrees -> (batched_ctx, vmap in_axes tree).
+
+    Arrays that DIFFER across the batch stack on a new leading axis
+    (mapped, axis 0); leaves shared by every slot stay unmapped (None) —
+    the slot-varying pilot values map, the static plan context broadcasts.
+    None entries are empty pytree nodes and pass through untouched.
+    """
+    flat0, treedef = jax.tree_util.tree_flatten(ctxs[0])
+    flats = [jax.tree_util.tree_flatten(c)[0] for c in ctxs]
+    for c in ctxs[1:]:
+        assert jax.tree_util.tree_structure(c) == treedef, \
+            "slot-batch requires identical slot-context structure"
+    leaves, axes = [], []
+    for group in zip(*flats):
+        if all(g is group[0] for g in group):
+            leaves.append(group[0])
+            axes.append(None)
+        else:
+            leaves.append(_stacker()(list(group)))
+            axes.append(0)
+    return (jax.tree_util.tree_unflatten(treedef, leaves),
+            jax.tree_util.tree_unflatten(treedef, axes))
+
+
+@functools.lru_cache(maxsize=1)
+def _stacker():
+    """Jitted stack: ctx arrays can be complex64 and EAGER complex ops
+    are fatal on the tunnel backend (utils/transfer)."""
+    return jax.jit(lambda xs: jnp.stack(xs, axis=0))
+
+
+@functools.lru_cache(maxsize=64)
+def _ks_dev(b: int):
+    return jnp.arange(b, dtype=jnp.int32)
 
 
 @dataclasses.dataclass
@@ -485,6 +562,7 @@ class SlotConductor:
         self._dl_phases: dict = {}
         self._ul_phases: dict = {}
         self._slot_phases: dict = {}
+        self._batch_fns: dict = {}
 
     # ---------------------------------------------------------------- DL
 
@@ -648,6 +726,77 @@ class SlotConductor:
         return tx_samples, PendingSlotResults(
             ul_tti=ul_tti, harq_meta=harq_meta, scalars=scalars,
             payload=payload, new_softs=new_softs, conductor=self)
+
+    def process_slot_batch(self, slots, staged: "StagedPayloads",
+                           rx_batch, prach_fd=()):
+        """SLOT-BATCHED throughput mode: B same-phase slots in ONE
+        vmapped dispatch (tools/bench_slot_batch measured 114 -> 27
+        us/slot at B=4 on the tunnel; B extra slots of latency sits
+        inside the reference's max_processing_delay_slots=5 pipeline,
+        du_low_config.h:40).
+
+        slots: list of (dl_tti, ul_tti[, ul_dci]) sharing the normalized
+        DL/UL plans and subframe_slot_index; slot i's payloads must be
+        staged at index i of ``staged``.  rx_batch: [B, P, T].
+        Returns (tx_samples [B, P, T], PendingSlotBatch).
+        """
+        assert slots and staged.depth >= len(slots)
+        sif = slots[0][0].slot.subframe_slot_index
+        dl_ctxs, ul_ctxs, harq_metas, softs_rows = [], [], [], []
+        dl_plan = ul_plan = None
+        for s in slots:
+            dl_tti, ul_tti = s[0], s[1]
+            ul_dci = s[2] if len(s) > 2 else None
+            assert dl_tti.slot.subframe_slot_index == sif, \
+                "slot batch must share subframe_slot_index (CP layout)"
+            if self.validate:
+                from .validators import validate_dl_tti, validate_ul_tti
+                validate_dl_tti(dl_tti, self.cell)
+                validate_ul_tti(ul_tti, self.cell)
+            extra = ul_dci.pdcch if ul_dci is not None else ()
+            plan_d, ctx_d = normalize_dl_plan(dl_tti, extra,
+                                              self.cell.nof_ports)
+            plan_u, ctx_u = normalize_ul_plan(ul_tti)
+            if dl_plan is None:
+                dl_plan, ul_plan = plan_d, plan_u
+            else:
+                assert (plan_d, plan_u) == (dl_plan, ul_plan), \
+                    "slot batch must share the normalized DL/UL plans"
+            dl_ctxs.append(ctx_d)
+            ul_ctxs.append(ctx_u)
+            harq_meta = ul_tti.pusch_harq or tuple(
+                (0, True) for _ in ul_tti.pusch)
+            harq_metas.append(harq_meta)
+            shapes = tuple(self._pusch_soft_shape(c) for c in ul_tti.pusch)
+            softs_rows.append(tuple(
+                self.harq_pool.get(c.rnti, hid, shape, new)
+                for c, shape, (hid, new) in zip(ul_tti.pusch, shapes,
+                                                harq_meta)))
+        dl_ctx_b, dl_axes = _stack_ctx(dl_ctxs)
+        ul_ctx_b, ul_axes = _stack_ctx(ul_ctxs)
+        axes_fp = (tuple(jax.tree_util.tree_leaves(
+                       dl_axes, is_leaf=lambda x: x is None)),
+                   tuple(jax.tree_util.tree_leaves(
+                       ul_axes, is_leaf=lambda x: x is None)))
+        key = (dl_plan, ul_plan, sif, staged.stride, axes_fp)
+        fn = self._batch_fns.get(key)
+        if fn is None:
+            core = _slot_run_core(self.cell, dl_plan, ul_plan, sif,
+                                  staged.stride)
+            fn = jax.jit(jax.vmap(
+                core, in_axes=(None, 0, 0, None, 0, dl_axes, ul_axes)))
+            self._batch_fns[key] = fn
+        softs_b = tuple(jnp.stack([row[i] for row in softs_rows], axis=0)
+                        for i in range(len(softs_rows[0]))) \
+            if softs_rows[0] else ()
+        tx, scalars, payload, new_softs = fn(
+            staged.buf, _ks_dev(len(slots)), rx_batch, tuple(prach_fd),
+            softs_b, dl_ctx_b, ul_ctx_b)
+        pend = PendingSlotBatch(
+            slots=[(s[1], m) for s, m in zip(slots, harq_metas)],
+            scalars=scalars, payload=payload, new_softs=new_softs,
+            conductor=self)
+        return tx, pend
 
     # ---------------------------------------------------------------- UL
 
